@@ -1,0 +1,139 @@
+"""Batched detection metrics: IoU, orthogonality, MAE, IoU+confidence, AP.
+
+Vectorized jnp re-expression of evaluations/detection.py (reference:
+IoU 12-49, Orthogonity 55-105, MAE 109-161, IoUConfidence 164-204, AP
+machinery 207-267) with one structural change for TPU: the reference's
+``masked_select`` produces dynamic shapes, so every metric here returns the
+full ``(N, K, L)`` value grid *plus its boolean mask*; hosts (or the
+expression aggregator) apply the mask. Masking predicates are identical to
+the reference (strict ``> 1e-5`` overlap tests, ground-truth area and
+major-length guards, score threshold via ``valid_mask``).
+
+AP is an inherently sequential interpolated sweep over score-sorted
+detections (detection.py:207-255); it runs on host NumPy over the masked
+values — tiny arrays, off the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pairwise(det_boxes, gt_boxes, valid_mask):
+    """Common (N, K, L) broadcast pieces shared by all metrics."""
+    tlx1 = det_boxes[:, :, None, 0]
+    tly1 = det_boxes[:, :, None, 1]
+    brx1 = det_boxes[:, :, None, 2]
+    bry1 = det_boxes[:, :, None, 3]
+    tlx2 = gt_boxes[:, None, :, 0]
+    tly2 = gt_boxes[:, None, :, 1]
+    brx2 = gt_boxes[:, None, :, 2]
+    bry2 = gt_boxes[:, None, :, 3]
+
+    det_area = (brx1 - tlx1) * (bry1 - tly1)
+    gt_area = (brx2 - tlx2) * (bry2 - tly2)
+
+    dx = jnp.minimum(brx1, brx2) - jnp.maximum(tlx1, tlx2)
+    dy = jnp.minimum(bry1, bry2) - jnp.maximum(tly1, tly2)
+    inter = dx * dy
+    mask = (dx > 1e-5) & (dy > 1e-5) & (gt_area > 1e-5) & valid_mask[:, :, None]
+    return inter, det_area, gt_area, mask
+
+
+def iou(det_boxes, gt_boxes, valid_mask):
+    """IoU of every detection/ground-truth pair (detection.py:12-49).
+
+    Returns ``(values, mask)``, both (N, K, L)."""
+    inter, det_area, gt_area, mask = _pairwise(det_boxes, gt_boxes, valid_mask)
+    vals = inter / (det_area + gt_area - inter)
+    return vals, mask
+
+
+def iou_confidence(det_boxes, gt_boxes, scores, valid_mask):
+    """IoU plus the matched detection's confidence (detection.py:164-204).
+
+    Returns ``(iou_values, score_values, mask)``."""
+    inter, det_area, gt_area, mask = _pairwise(det_boxes, gt_boxes, valid_mask)
+    vals = inter / (det_area + gt_area - inter)
+    sel_scores = jnp.broadcast_to(scores[:, :, None], vals.shape)
+    return vals, sel_scores, mask
+
+
+def orthogonality(det_boxes, gt_boxes, maj_det, maj_gt, valid_mask):
+    """Sine of the angle between matched major axes (detection.py:55-105).
+
+    ``maj_det``/``maj_gt`` are (N, K, 3)/(N, L, 3) of (majX, majY, majL).
+    NaNs can appear when |cos| marginally exceeds 1 for near-degenerate
+    predictions — the reference keeps them and filters at aggregation time,
+    and so do we."""
+    inter, det_area, gt_area, mask = _pairwise(det_boxes, gt_boxes, valid_mask)
+    cos = (
+        maj_det[:, :, None, 0] * maj_gt[:, None, :, 0]
+        + maj_det[:, :, None, 1] * maj_gt[:, None, :, 1]
+    ) / (maj_det[:, :, None, 2] * maj_gt[:, None, :, 2])
+    sin = jnp.sqrt(1.0 - cos**2)
+    mask = mask & (maj_gt[:, None, :, 2] > 1e-5)
+    return sin, mask
+
+
+def mae(det_boxes, gt_boxes, regr_det, regr_gt, valid_mask):
+    """|major|, |minor|, |radius| absolute errors for overlapping pairs
+    (detection.py:109-161). ``regr_*`` are (.., 3) of (majL, minL, radius).
+
+    Returns ``(aeMaj, aeMin, aeRad, mask)``."""
+    inter, det_area, gt_area, mask = _pairwise(det_boxes, gt_boxes, valid_mask)
+    ae_maj = jnp.abs(regr_det[:, :, None, 0] - regr_gt[:, None, :, 0])
+    ae_min = jnp.abs(regr_det[:, :, None, 1] - regr_gt[:, None, :, 1])
+    ae_rad = jnp.abs(regr_det[:, :, None, 2] - regr_gt[:, None, :, 2])
+    mask = mask & (regr_gt[:, None, :, 0] > 1e-5)
+    return ae_maj, ae_min, ae_rad, mask
+
+
+# ---- AP machinery (host side, NumPy) ------------------------------------
+
+
+def average_precision_plots(ious: np.ndarray, scores: np.ndarray,
+                            obj_num: float, threshold: float) -> List[Tuple[float, float]]:
+    """Recall/precision plot points, score-descending sweep
+    (detection.py:207-231)."""
+    order = np.argsort(scores, kind="stable")[::-1]
+    plots = []
+    acc_true = 0
+    acc_false = 0
+    recall = 0
+    total = max(obj_num, 1e-9)
+    for idx in order:
+        if ious[idx] < threshold:
+            acc_false += 1
+        else:
+            acc_true += 1
+            recall += 1
+        plots.append((recall / total, acc_true / (acc_true + acc_false)))
+    return plots
+
+
+def average_precision_all(plots: List[Tuple[float, float]]) -> float:
+    """Interpolated AP from the plot points (detection.py:233-255)."""
+    x1 = 1.0
+    x2 = 1.0
+    y = 0.0
+    ap = 0.0
+    for recall, precision in reversed(plots):
+        if precision > y:
+            ap += (x2 - x1) * y
+            x2 = recall
+            x1 = recall
+            y = precision
+        else:
+            x1 = recall
+    return ap + x2 * y
+
+
+def ap_all(ious: np.ndarray, scores: np.ndarray, obj_num: float,
+           threshold: float) -> float:
+    return average_precision_all(
+        average_precision_plots(ious, scores, obj_num, threshold)
+    )

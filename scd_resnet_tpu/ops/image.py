@@ -1,0 +1,69 @@
+"""Host/device image primitives: grayscale conversion and generic
+reflect padding with explicit OpenCV-vs-torch border semantics.
+
+The reference uses *two different* grayscale formulas (SURVEY.md defect #9):
+
+- preprocessing: ``0.30 R + 0.59 G + 0.11 B`` unrounded
+  (datasets/preprocessor/scdManual.py:46-56);
+- inference: ``round(0.1140 R + 0.5870 G + 0.2989 B)`` — BGR-ordered
+  weights applied to RGB channels, rounded (test.py:21-33). Checkpoint
+  parity at inference requires this exact formula including the round.
+
+The reference's inference-side reflect pad hardcodes slide geometry to fake
+OpenCV semantics on the x-axis only (test.py:59-84, defect #10). Here both
+border conventions are implemented generically:
+
+- ``reflect101`` (torch 'reflect' / cv2 BORDER_REFLECT_101): edge pixel not
+  repeated — ``... c b | a b c ...``;
+- ``symmetric`` (cv2 BORDER_REFLECT / numpy 'symmetric'): edge repeated —
+  ``... b a | a b c ...``.
+
+``pad_reflect_hybrid`` reproduces the reference's served behavior for any
+slide size: symmetric on x, reflect101 on y.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def grayscale_preprocess(rgb: np.ndarray) -> np.ndarray:
+    """WSI grayscale used when building training archives
+    (scdManual.py:46-56)."""
+    rgb = np.asarray(rgb)
+    return (
+        0.30 * rgb[..., 0] + 0.59 * rgb[..., 1] + 0.11 * rgb[..., 2]
+    ).astype(np.float32)
+
+
+def grayscale_inference(rgb: np.ndarray) -> np.ndarray:
+    """Inference grayscale, matching test.py:21-33 exactly (including the
+    BGR-ordered coefficients and the rounding)."""
+    rgb = np.asarray(rgb)
+    return np.round(
+        0.1140 * rgb[..., 0] + 0.5870 * rgb[..., 1] + 0.2989 * rgb[..., 2]
+    ).astype(np.float32)
+
+
+def _pad_axis(image: np.ndarray, before: int, after: int, axis: int,
+              mode: str) -> np.ndarray:
+    if before == 0 and after == 0:
+        return image
+    np_mode = {"reflect101": "reflect", "symmetric": "symmetric"}[mode]
+    pad = [(0, 0)] * image.ndim
+    pad[axis] = (before, after)
+    return np.pad(image, pad, mode=np_mode)
+
+
+def pad_reflect_hybrid(image: np.ndarray, pad_lr: int, pad_tb: int) -> np.ndarray:
+    """Reflect-pad an (H, W) image: symmetric on x, reflect101 on y.
+
+    Generalizes the reference's hardcoded 3092x2056 fix-up (test.py:79-82)
+    to arbitrary slide geometry: torch's reflect101 pad is applied on both
+    axes, then the x borders are overwritten with the OpenCV symmetric
+    convention — which is what the hardcoded loops did for 3200-wide pads.
+    """
+    image = np.asarray(image)
+    out = _pad_axis(image, pad_tb, pad_tb, 0, "reflect101")
+    out = _pad_axis(out, pad_lr, pad_lr, 1, "symmetric")
+    return out

@@ -1,0 +1,15 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+mesh/psum logic is exercised without TPUs (SURVEY.md §4 test strategy (c)).
+
+Must run before jax initializes, hence env vars at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
