@@ -1,0 +1,183 @@
+"""SCD training dataset over a `.d` archive.
+
+One parameterized class replaces the reference's 26 near-identical
+``datasets/scds/scdx{A}p{P}.py`` files (590 lines each, differing only in
+``ARGUMENTRATIO`` / ``PARTITION`` / ``TRAINSUBSET`` — scdx1p5.py:57-60 vs
+scdx16p100.py:57-60). The named variants live in the dataset registry
+(scd_resnet_tpu.train.registry).
+
+Faithful behaviors (scdx16p100.py):
+
+- intake order filtered by rotation-augment index < ``argument_ratio``,
+  then shuffled and truncated by ``partition`` (144-161);
+- fixed-size validation split persisted/consumed as the
+  ``{dataset}.split.json`` profile with the same schema (163-186, 288-290);
+- validation set pre-rendered once (heatmaps at IoU 0.5, normalized
+  samples) and chunked by ``validationBatchSize`` (199-286, 381-414);
+- epoch reshuffle of the training order (305-310) — but keyed per epoch,
+  not a side effect of ``__getitem__(0)`` (the reference's racy pattern,
+  SURVEY.md defect #7);
+- MAXTAGLEN=30 fixed-shape packing (328-351).
+
+Deliberately different: samples live in one contiguous host array and
+augmentation/label-render runs fused on device per batch
+(data/pipeline.py), not per sample on host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from scd_resnet_tpu.core.logging import Logger
+from scd_resnet_tpu.data.archive import MAXTAGLEN, read_archive
+from scd_resnet_tpu.data.pipeline import augment_and_render_batch
+
+_NAME_RE = re.compile(r"^(?P<img>.+?)\.(?P<rep>\d+)\.(?P<clip>\d+)\.npy$")
+
+
+class SCDDataset:
+    """In-memory dataset with device-side augmentation.
+
+    Args:
+      zip_path: `.d` archive path.
+      data_split: parsed split-profile dict (same schema as the reference's
+        ``{dataset}.split.json``) or None to create a fresh split.
+      argument_ratio: keep clips whose rotation-augment index < this
+        (ARGUMENTRATIO).
+      partition: fraction of the (shuffled) intake order kept (PARTITION).
+      train_subset: name of the training subset inside the split profile
+        (TRAINSUBSET, e.g. 'train16p100').
+      test_set: validation clip count (TESTSET=5760 in the reference);
+        capped to half the data for small archives.
+      heat_size: heatmap side; S//4 for S-sized clips.
+      split_profile_path: where to persist the split profile (optional).
+      seed: shuffling seed.
+    """
+
+    def __init__(self, zip_path: str, data_split: Optional[Dict] = None, *,
+                 argument_ratio: int = 16, partition: float = 1.0,
+                 train_subset: str = "train16p100", test_set: int = 5760,
+                 heat_size: Optional[int] = None,
+                 split_profile_path: Optional[str] = None, seed: int = 42):
+        Logger.log("Loading archive {} ...".format(zip_path))
+        self.names, self.samples, self.locs, self.counts = read_archive(zip_path)
+        if self.samples.ndim != 3 or len(self.names) == 0:
+            raise ValueError("empty or malformed archive: {}".format(zip_path))
+        size = self.samples.shape[1]
+        self.heat_size = heat_size or size // 4
+        self.train_subset = train_subset
+        rng = np.random.default_rng(seed)
+
+        # intake order: keep augment reps < argument_ratio (scdx16p100.py:148-157)
+        order: List[int] = []
+        for raw_index, name in enumerate(self.names):
+            match = _NAME_RE.match(name)
+            rep = int(match.group("rep")) if match else 0
+            if rep < argument_ratio:
+                order.append(raw_index)
+
+        rng.shuffle(order)
+        order = order[: int(len(order) * partition)]
+
+        self.data_profile: Dict[str, List[int]] = {"validation": []}
+        if data_split is None:
+            Logger.log(
+                "No data split profile; selecting a fresh validation set."
+            )
+            rng.shuffle(order)
+            num_validation = min(int(round(test_set)), max(1, len(order) // 2))
+            self.data_profile["validation"] = order[:num_validation]
+            order = order[num_validation:]
+            self.data_profile[train_subset] = order
+        else:
+            Logger.log("Extracting validation set from data split profile ...")
+            self.data_profile = dict(data_split)
+            if train_subset in self.data_profile:
+                order = list(self.data_profile[train_subset])
+            else:
+                validation = set(self.data_profile["validation"])
+                order = [x for x in order if x not in validation]
+                self.data_profile[train_subset] = order
+
+        self.order = list(order)
+        if split_profile_path:
+            with open(split_profile_path, "w") as f:
+                json.dump(self.data_profile, f)
+
+        self._rng = rng
+        self._build_validation()
+        Logger.log(
+            "Dataset ready: {} training / {} validation clips".format(
+                len(self.order), len(self.data_profile["validation"])
+            )
+        )
+
+    # ---- validation ------------------------------------------------------
+
+    def _build_validation(self) -> None:
+        val_ids = np.asarray(self.data_profile["validation"], np.int64)
+        if len(val_ids) == 0:
+            self.validation = None
+            return
+        samples = self.samples[val_ids]
+        locs = self.locs[val_ids]
+        counts = self.counts[val_ids]
+        # pre-render once, no augmentation (scdx16p100.py:199-286)
+        xs, ys = augment_and_render_batch(
+            jax.random.PRNGKey(0), samples, locs, counts, self.heat_size,
+            augment=False,
+        )
+        self.validation = {
+            "xs": [xs],
+            # ys[3] carries the full float loc records for the [It] metric
+            # path (the reference's getValidationSet passes fixedLocs there,
+            # scdx16p100.py:404-414 + centerNetEvaluation:287-292) and ys[5]
+            # the integer indices.
+            "ys": [ys[0], ys[1], ys[2], jax.numpy.asarray(locs),
+                   jax.numpy.asarray(counts), ys[3]],
+        }
+
+    def get_validation_set(self, validation_batch_size: int) -> List[Dict]:
+        """Chunk the pre-rendered validation set (scdx16p100.py:381-414)."""
+        if self.validation is None:
+            return []
+        total = int(self.validation["xs"][0].shape[0])
+        if total <= validation_batch_size:
+            return [self.validation]
+        batches = []
+        for k in range(total // validation_batch_size):
+            sl = slice(k * validation_batch_size, (k + 1) * validation_batch_size)
+            batches.append(
+                {
+                    "xs": [self.validation["xs"][0][sl]],
+                    "ys": [y[sl] for y in self.validation["ys"]],
+                }
+            )
+        return batches
+
+    # ---- training --------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.order)
+
+    def epoch_batches(self, batch_size: int, shard_count: int = 1,
+                      shard_index: int = 0
+                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """One epoch of raw (samples, locs, counts) batches, drop_last.
+
+        ``shard_count``/``shard_index`` give per-host sharding of the epoch
+        order — the DistributedSampler equivalent (networkFactory.py:106-108)
+        for multi-host training; within a host the global batch is sharded
+        across devices by the train step's input shardings.
+        """
+        self._rng.shuffle(self.order)
+        order = np.asarray(self.order[shard_index::shard_count])
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[start : start + batch_size]
+            yield self.samples[idx], self.locs[idx], self.counts[idx]

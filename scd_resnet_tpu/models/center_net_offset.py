@@ -123,9 +123,20 @@ def center_net_evaluation(xs, ys, ct_scores, ct_indices, ct_y, ct_x, offset,
     """
     tag_mask = ys[1]
     regr_gt = ys[2]
-    indices_gt = ys[3]
 
     obj_num = jnp.asarray(tag_mask, jnp.float32).sum(axis=1)
+
+    # ys[3] is either (B, K) flat heat indices (training batches) or the
+    # (B, K, 8) float loc records (validation batches) — the reference's
+    # evaluation branches on the same distinction (centerNetOffset.py:287-292).
+    heat_size = out_dict["heatmap"].shape[2]  # HEATMAPSIZE (128 in production)
+    if jnp.ndim(ys[3]) == 2:
+        indices_gt = ys[3]
+        center_y_gt = (indices_gt // heat_size).astype(jnp.float32)
+        center_x_gt = (indices_gt % heat_size).astype(jnp.float32)
+    else:
+        center_x_gt = ys[3][:, :, 0]
+        center_y_gt = ys[3][:, :, 1]
 
     maj_l = jnp.sqrt(regression[:, :, 0] ** 2 + regression[:, :, 1] ** 2)
     bounds = jnp.stack(
@@ -148,8 +159,6 @@ def center_net_evaluation(xs, ys, ct_scores, ct_indices, ct_y, ct_x, offset,
         axis=-1,
     )
 
-    center_y_gt = (indices_gt // HEATMAP_SIZE).astype(jnp.float32)
-    center_x_gt = (indices_gt % HEATMAP_SIZE).astype(jnp.float32)
     maj_l_gt = jnp.sqrt(regr_gt[:, :, 2] ** 2 + regr_gt[:, :, 3] ** 2)
     gt_locs = jnp.stack(
         [

@@ -1,0 +1,104 @@
+"""Validation metric aggregation and the report line.
+
+Host-side re-expression of the profile ``expression()`` aggregator
+(trainer/model/centerOffsetRes10.py:18-106): concatenates masked metric
+selections across validation batches, computes the means (NaN-filtered
+orthogonality), interpolated AP at 0.3/0.5/0.7/0.9, and formats the exact
+``[mIoU] ... [avgS]`` line the reference appends to ``evals.{name}.txt``.
+
+Inputs are the (values, mask) tuples produced by
+``center_net_evaluation`` — device arrays or numpy."""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from scd_resnet_tpu.evaluations.detection import (
+    average_precision_all,
+    average_precision_plots,
+)
+
+
+def _masked(values, mask) -> np.ndarray:
+    return np.asarray(values)[np.asarray(mask)]
+
+
+def _mean(x: np.ndarray) -> float:
+    return float(x.mean()) if x.size else 0.0
+
+
+def aggregate_center_net(batches: List[Dict]) -> Dict[str, float]:
+    """Aggregate per-batch metric dicts into the scalar report metrics."""
+    ious, scores, orthos = [], [], []
+    iou_centers, iou_offsets, iou_offset_wos = [], [], []
+    ae_majs, ae_mins, ae_rads = [], [], []
+    obj_num = 0.0
+
+    for batch in batches:
+        obj_num += float(np.asarray(batch["objs"]).sum())
+        vals, svals, mask = batch["iouscore"]
+        ious.append(_masked(vals, mask))
+        scores.append(_masked(svals, mask))
+        vals, mask = batch["ortho"]
+        orthos.append(_masked(vals, mask))
+        vals, mask = batch["ioucenter"]
+        iou_centers.append(_masked(vals, mask))
+        vals, mask = batch["iouoffset"]
+        iou_offsets.append(_masked(vals, mask))
+        vals, mask = batch["iouoffsetwo"]
+        iou_offset_wos.append(_masked(vals, mask))
+        maj, mn, rad, mask = batch["maes"]
+        ae_majs.append(_masked(maj, mask))
+        ae_mins.append(_masked(mn, mask))
+        ae_rads.append(_masked(rad, mask))
+
+    ious = np.concatenate(ious) if ious else np.zeros(0)
+    scores = np.concatenate(scores) if scores else np.zeros(0)
+    orthos = np.concatenate(orthos) if orthos else np.zeros(0)
+    orthos = orthos[~np.isnan(orthos)]
+
+    result = {
+        "mIoU": _mean(ious),
+        "mIoUC": _mean(np.concatenate(iou_centers) if iou_centers else np.zeros(0)),
+        "mIoUO": _mean(np.concatenate(iou_offsets) if iou_offsets else np.zeros(0)),
+        "mIoUwoO": _mean(
+            np.concatenate(iou_offset_wos) if iou_offset_wos else np.zeros(0)
+        ),
+        "orthogonity": _mean(orthos),
+        "avgScore": _mean(scores),
+        "majMAE": _mean(np.concatenate(ae_majs) if ae_majs else np.zeros(0)),
+        "minMAE": _mean(np.concatenate(ae_mins) if ae_mins else np.zeros(0)),
+        "radMAE": _mean(np.concatenate(ae_rads) if ae_rads else np.zeros(0)),
+    }
+
+    obj_num = max(obj_num, float(len(ious)))
+    for t in (30, 50, 70, 90):
+        plots = average_precision_plots(ious, scores, obj_num, t / 100.0)
+        result[f"ap{t}"] = average_precision_all(plots)
+    return result
+
+
+def expression_center_net(batches: List[Dict]) -> str:
+    """The exact report line format (centerOffsetRes10.py:88-106)."""
+    e = aggregate_center_net(batches)
+    return (
+        "[mIoU] {}    [mIoUC] {}    [mIoUwoO] {}    [mIoUO] {}    "
+        "[AP30] {}    [AP50] {}    [AP70] {}    [AP90] {}    [Orth] {}    "
+        "[majMAE] {}    [minMAE] {}    [radMAE] {}    [avgS] {}".format(
+            format(e["mIoU"] * 100, "-10.8f"),
+            format(e["mIoUC"] * 100, "-10.8f"),
+            format(e["mIoUwoO"] * 100, "-10.8f"),
+            format(e["mIoUO"] * 100, "-10.8f"),
+            format(e["ap30"] * 100, "-5.2f"),
+            format(e["ap50"] * 100, "-5.2f"),
+            format(e["ap70"] * 100, "-5.2f"),
+            format(e["ap90"] * 100, "-5.2f"),
+            format(e["orthogonity"], "-8.6f"),
+            format(e["majMAE"], "-8.6f"),
+            format(e["minMAE"], "-8.6f"),
+            format(e["radMAE"], "-8.6f"),
+            format(e["avgScore"], "-6.4f"),
+        )
+    )

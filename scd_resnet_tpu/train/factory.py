@@ -1,0 +1,341 @@
+"""Training engine: one jit-compiled, mesh-sharded train step plus the
+host schedule loop.
+
+TPU-native re-design of models/networkFactory.py:
+
+- profile resolution (44-68) via the typed registry instead of importlib;
+- optimizer construction (79-93): Adam or SGD(momentum 0.9, wd 1e-4), with
+  the LR-decay milestones (configs' ``learningRateDecay(Rate)``) expressed
+  as an optax piecewise-constant schedule. Unlike the reference, Adam
+  honors the configured learning rate from step 0 (SURVEY.md defect #2)
+  and resume replays the schedule by step count, not the decay-rate
+  indexing bug (defect #3);
+- DDP+SyncBatchNorm+DistributedSampler (104-136) become: batch arrays
+  sharded over the mesh 'data' axis, parameters replicated, GSPMD inserting
+  the gradient all-reduce and global BN moments over ICI; per-host data
+  sharding via ``epoch_batches(shard_count, shard_index)``;
+- the iteration loop (164-241): [Tr]/[It] validation cadence, snapshot
+  checkpoints + loss CSVs (rows ``iter,total,focal,size,offset``), final
+  ``evals.{trainName}.txt``.
+
+Augmentation + heatmap rendering run inside the jitted train step (fused
+with forward/backward), so host→device traffic per step is just the raw
+clip batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scd_resnet_tpu.core.checkpoint import load_checkpoint, load_params_only, save_checkpoint
+from scd_resnet_tpu.core.config import Configuration, default_config
+from scd_resnet_tpu.core.logging import Logger, StepTelemetry
+from scd_resnet_tpu.data.dataset import SCDDataset
+from scd_resnet_tpu.data.pipeline import augment_and_render_batch
+from scd_resnet_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+from scd_resnet_tpu.train.registry import get_dataset_profile, get_model_profile
+
+
+def make_lr_schedule(base_lr: float, decay_steps: List[int],
+                     decay_rates: List[float]):
+    """Piecewise-constant schedule: divide by rate at each milestone."""
+    scales = {int(s): 1.0 / float(r) for s, r in zip(decay_steps, decay_rates)}
+    return optax.piecewise_constant_schedule(base_lr, scales)
+
+
+def make_optimizer(name: str, schedule) -> optax.GradientTransformation:
+    if name == "adam":
+        return optax.adam(schedule)
+    if name == "sgd":
+        # torch SGD semantics: wd folded into the gradient before momentum
+        return optax.chain(
+            optax.add_decayed_weights(1e-4),
+            optax.trace(decay=0.9),
+            optax.scale_by_learning_rate(schedule),
+        )
+    raise ValueError(
+        "unknown optimizer '{}', currently support 'sgd' or 'adam'".format(name)
+    )
+
+
+class NetworkFactory:
+    """Builds model/optimizer/dataset from config and runs training.
+
+    Only initialize ONE factory per training task (same contract as
+    networkFactory.py:36-42)."""
+
+    def __init__(self, config: Optional[Configuration] = None,
+                 dataset: Optional[SCDDataset] = None,
+                 mesh=None, seed: int = 42):
+        self.config = config or default_config
+        cfg = self.config
+
+        self.profile = get_model_profile(cfg.modelName)
+        Logger.info("Loaded model profile: {}".format(cfg.modelName))
+        self.model = self.profile.build()
+        self.loss = self.profile.loss
+        self.decode = self.profile.decode
+        self.evaluation = self.profile.evaluation
+        self.expression = self.profile.expression
+
+        if dataset is None:
+            ds_profile = get_dataset_profile(cfg.datasetName)
+            Logger.info("Loaded dataset profile: {}".format(cfg.datasetName))
+            data_split = None
+            if os.path.exists(cfg.dirDataSplitProfile):
+                import json
+
+                with open(cfg.dirDataSplitProfile) as f:
+                    data_split = json.load(f)
+            dataset = SCDDataset(
+                cfg.dirDatafile,
+                data_split,
+                argument_ratio=ds_profile.argument_ratio,
+                partition=ds_profile.partition,
+                train_subset=ds_profile.train_subset,
+                split_profile_path=cfg.dirDataSplitProfile,
+                seed=seed,
+            )
+        self.dataset = dataset
+        self.heat_size = dataset.heat_size
+        self.sample_size = dataset.samples.shape[1]
+
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self._batch_shard = batch_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+
+        # ---- init parameters (replicated over the mesh) ----
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, self.sample_size, self.sample_size, 1), jnp.float32)
+        variables = jax.jit(
+            functools.partial(self.model.init, train=False),
+            out_shardings=self._replicated,
+        )(rng, dummy)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        self.parameter_count = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params)
+        )
+        Logger.log("Parameter Count: {}".format(self.parameter_count))
+
+        self.schedule = make_lr_schedule(
+            cfg.learningRate, cfg.learningRateDecay, cfg.learningRateDecayRate
+        )
+        self.tx = make_optimizer(cfg.optimizer, self.schedule)
+        self.opt_state = jax.jit(self.tx.init, out_shardings=self._replicated)(
+            self.params
+        )
+
+        self._train_step = self._build_train_step()
+        self._validate_step = self._build_validate_step()
+        self._augment = self._build_augment()
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+    # ---- jitted steps ----------------------------------------------------
+
+    def _build_train_step(self):
+        model, loss_fn, tx, heat_size = self.model, self.loss, self.tx, self.heat_size
+
+        def step(params, batch_stats, opt_state, samples, locs, counts, key):
+            xs, ys = augment_and_render_batch(
+                key, samples, locs, counts, heat_size
+            )
+
+            def objective(p):
+                outs, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    xs,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss, stats = loss_fn([outs], ys)
+                return loss, (stats, mutated["batch_stats"])
+
+            (loss, (stats, new_bs)), grads = jax.value_and_grad(
+                objective, has_aux=True
+            )(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt, loss, stats
+
+        return jax.jit(
+            step,
+            in_shardings=(
+                self._replicated,  # params
+                self._replicated,  # batch_stats
+                self._replicated,  # opt_state
+                self._batch_shard,  # samples
+                self._batch_shard,  # locs
+                self._batch_shard,  # counts
+                self._replicated,  # key
+            ),
+            out_shardings=(
+                self._replicated,
+                self._replicated,
+                self._replicated,
+                self._replicated,
+                self._replicated,
+            ),
+            donate_argnums=(0, 1, 2),
+        )
+
+    def _build_validate_step(self):
+        model, decode, evaluation = self.model, self.decode, self.evaluation
+
+        def step(params, batch_stats, xs, ys):
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, xs, train=False
+            )
+            decoded = decode(outs)
+            return evaluation([xs], ys, *decoded)
+
+        return jax.jit(step)
+
+    def _build_augment(self):
+        heat_size = self.heat_size
+
+        def fn(key, samples, locs, counts):
+            return augment_and_render_batch(key, samples, locs, counts, heat_size)
+
+        return jax.jit(fn)
+
+    # ---- checkpoint paths --------------------------------------------------
+
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self.config.dirTemp, self.config.naming)
+
+    def save_parameters(self) -> None:
+        save_checkpoint(
+            self._checkpoint_path(), self.params, self.batch_stats,
+            self.opt_state, self.config.currentIteration,
+        )
+
+    def load_parameters(self) -> None:
+        template = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "step": 0,
+        }
+        restored = load_checkpoint(self._checkpoint_path(), template)
+        self.params = jax.device_put(restored["params"], self._replicated)
+        self.batch_stats = jax.device_put(restored["batch_stats"], self._replicated)
+        self.opt_state = jax.device_put(restored["opt_state"], self._replicated)
+
+    def load_pretrained(self, path: str) -> None:
+        Logger.warn(":: factory :: loading from pretrained: {}".format(path))
+        params, batch_stats = load_params_only(path)
+        self.params = jax.device_put(params, self._replicated)
+        if batch_stats:
+            self.batch_stats = jax.device_put(batch_stats, self._replicated)
+
+    # ---- public steps ------------------------------------------------------
+
+    def train(self, samples, locs, counts) -> Tuple[float, List[float]]:
+        self._rng, key = jax.random.split(self._rng)
+        samples, locs, counts = (
+            jax.device_put(samples, self._batch_shard),
+            jax.device_put(locs, self._batch_shard),
+            jax.device_put(counts, self._batch_shard),
+        )
+        (self.params, self.batch_stats, self.opt_state, loss, stats) = (
+            self._train_step(
+                self.params, self.batch_stats, self.opt_state,
+                samples, locs, counts, key,
+            )
+        )
+        self._last_key = key
+        self._last_batch = (samples, locs, counts)
+        return loss, stats
+
+    def validate(self, xs, ys) -> Dict[str, Any]:
+        return self._validate_step(self.params, self.batch_stats, xs[0], ys)
+
+    def validate_train_batch(self) -> Dict[str, Any]:
+        """[Tr] line: rebuild the last augmented batch (same key) and run the
+        metric battery on it — matching the reference validating on the
+        just-trained batch (networkFactory.py:183-188)."""
+        samples, locs, counts = self._last_batch
+        xs, ys = self._augment(self._last_key, samples, locs, counts)
+        return self._validate_step(self.params, self.batch_stats, xs, ys)
+
+    # ---- the schedule loop ---------------------------------------------------
+
+    def begin_training(self, telemetry_path: Optional[str] = None) -> None:
+        cfg = self.config
+        if cfg.currentIteration > 0:
+            self.load_parameters()
+
+        it = cfg.currentIteration
+        total = cfg.totalIterations
+        loss_rows: List[List[float]] = []
+        eval_lines: List[str] = [
+            "Experiment: {}\n".format(cfg.trainName),
+            "Parameter Count: {}\n".format(self.parameter_count),
+        ]
+        telemetry = StepTelemetry(telemetry_path)
+        t_start = time.perf_counter()
+
+        finished = False
+        while not finished:
+            for samples, locs, counts in self.dataset.epoch_batches(cfg.batchSize):
+                cfg.update_iteration(it)
+                it += 1
+
+                loss, stats = self.train(samples, locs, counts)
+
+                if it % cfg.validationFrequency == 0:
+                    loss_f = float(loss)
+                    tr_line = "[Tr] {}:     ".format(format(it, "7d")) + \
+                        self.expression([jax.device_get(self.validate_train_batch())])
+                    batches = [
+                        jax.device_get(self.validate(item["xs"], item["ys"]))
+                        for item in self.dataset.get_validation_set(
+                            cfg.validationBatchSize
+                        )
+                    ]
+                    it_line = "[It] {}:     ".format(format(it, "7d")) + \
+                        self.expression(batches)
+                    eval_lines.append(tr_line + "\n" + it_line + "\n")
+                    Logger.info_green(tr_line)
+                    Logger.info(it_line)
+
+                loss_rows.append(
+                    [it, float(loss)] + [float(s) for s in stats]
+                )
+                telemetry.record(it, {"loss": loss_rows[-1][1],
+                                      "ips": it / (time.perf_counter() - t_start)})
+
+                if it % cfg.snapshotFrequency == 0:
+                    cfg.update_iteration(it)
+                    self.save_parameters()
+                    rows = np.asarray(loss_rows, np.float64)
+                    np.savetxt(
+                        os.path.join(
+                            cfg.dirResult,
+                            "losses.{}.{}.txt".format(cfg.trainName, it),
+                        ),
+                        rows, delimiter=",", fmt="%.5f",
+                    )
+                    loss_rows = []
+
+                if it >= total:
+                    finished = True
+                    break
+            if len(self.dataset) < cfg.batchSize:
+                raise RuntimeError("dataset smaller than one batch")
+
+        telemetry.close()
+        with open(
+            os.path.join(cfg.dirResult, "evals.{}.txt".format(cfg.trainName)), "w"
+        ) as f:
+            f.writelines(eval_lines)

@@ -1,0 +1,120 @@
+"""Profile registry: named model and dataset configurations.
+
+Replaces the reference's ``importlib`` profile indirection
+(networkFactory.py:50-68 importing ``trainer.model.<name>`` /
+``trainer.dataset.<name>``) with a typed registry. The ``trainer/``
+package at the repo root re-exports these under the reference's exact
+import paths for drop-in compatibility.
+
+Model profiles mirror trainer/model/*.py:
+
+- ``centerOffsetRes{10,18,34,50}`` — full width dims
+  [64,64,128,256,512,256,256,256], terminal hidden 128, loss weights
+  (0.1, 0.1) with focal + masked-L1 (centerOffsetRes10.py:9-17);
+- ``centerOffsetRes{10,18,34,50,101}h`` — half width
+  [32,32,64,128,256,128,128,128], terminal hidden 64
+  (centerOffsetRes10h.py:4, 13-14);
+- ``centerOffsetRes10q`` — quarter width [16,16,32,64,128,64,64,64]
+  (centerOffsetRes10q.py:13-14).
+
+Dataset profiles mirror the 25 ``datasets/scds/scdx{A}p{P}.py`` variants
+(A ∈ {1,4,8,12,16} rotation-augment intake, P ∈ {5,10,25,50,100} percent
+partition), which differ from each other only in three constants
+(scdx1p5.py:57-60)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+from scd_resnet_tpu.models import center_net_offset as cno
+from scd_resnet_tpu.train.expression import expression_center_net
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelProfile:
+    name: str
+    model_cls: Any
+    model_params: Dict[str, Any]
+    loss: Callable
+    decode: Callable
+    evaluation: Callable
+    expression: Callable
+
+    def build(self):
+        return self.model_cls(**self.model_params)
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetProfile:
+    name: str
+    argument_ratio: int
+    partition: float
+    train_subset: str
+
+
+MODEL_PROFILES: Dict[str, ModelProfile] = {}
+DATASET_PROFILES: Dict[str, DatasetProfile] = {}
+
+
+def register_model(profile: ModelProfile) -> None:
+    MODEL_PROFILES[profile.name] = profile
+
+
+def get_model_profile(name: str) -> ModelProfile:
+    if name not in MODEL_PROFILES:
+        raise KeyError(
+            "unknown model profile '{}'; known: {}".format(
+                name, sorted(MODEL_PROFILES)
+            )
+        )
+    return MODEL_PROFILES[name]
+
+
+def get_dataset_profile(name: str) -> DatasetProfile:
+    if name not in DATASET_PROFILES:
+        raise KeyError(
+            "unknown dataset profile '{}'; known: {}".format(
+                name, sorted(DATASET_PROFILES)
+            )
+        )
+    return DATASET_PROFILES[name]
+
+
+def _center_offset(name: str, num_layers: int, dims, hidden: int) -> None:
+    register_model(
+        ModelProfile(
+            name=name,
+            model_cls=cno.CenterNetResidual,
+            model_params={
+                "num_layers": num_layers,
+                "dims": tuple(dims),
+                "terminal_hidden": hidden,
+            },
+            loss=cno.CenterNetLoss(0.1, 0.1),
+            decode=cno.decode_center_net,
+            evaluation=cno.center_net_evaluation,
+            expression=expression_center_net,
+        )
+    )
+
+
+_FULL = (64, 64, 128, 256, 512, 256, 256, 256)
+_HALF = (32, 32, 64, 128, 256, 128, 128, 128)
+_QUARTER = (16, 16, 32, 64, 128, 64, 64, 64)
+
+for _depth in (10, 18, 34, 50):
+    _center_offset(f"centerOffsetRes{_depth}", _depth, _FULL, 128)
+for _depth in (10, 18, 34, 50, 101):
+    _center_offset(f"centerOffsetRes{_depth}h", _depth, _HALF, 64)
+_center_offset("centerOffsetRes10q", 10, _QUARTER, 64)
+
+for _a in (1, 4, 8, 12, 16):
+    for _p in (5, 10, 25, 50, 100):
+        _name = f"scdx{_a}p{_p}"
+        DATASET_PROFILES[_name] = DatasetProfile(
+            name=_name,
+            argument_ratio=_a,
+            partition=_p / 100.0,
+            train_subset=f"train{_a}p{_p}",
+        )

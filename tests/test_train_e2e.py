@@ -1,0 +1,107 @@
+"""End-to-end: synthetic archive -> dataset -> factory -> a few training
+steps with validation + checkpoint round trip, on an 8-device CPU mesh.
+
+Uses 128x128 clips (32x32 heatmaps) and the quarter-width ResNet-10 to
+keep single-core CPU compile time tolerable."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scd_resnet_tpu.core.config import Configuration
+from scd_resnet_tpu.data.dataset import SCDDataset
+from scd_resnet_tpu.data.synthetic import make_archive
+from scd_resnet_tpu.train.factory import NetworkFactory
+from scd_resnet_tpu.train.registry import MODEL_PROFILES, DATASET_PROFILES
+
+
+def test_registry_covers_reference_profiles():
+    for depth in (10, 18, 34, 50):
+        assert f"centerOffsetRes{depth}" in MODEL_PROFILES
+    for depth in (10, 18, 34, 50, 101):
+        assert f"centerOffsetRes{depth}h" in MODEL_PROFILES
+    assert "centerOffsetRes10q" in MODEL_PROFILES
+    assert len(DATASET_PROFILES) == 25
+    p = DATASET_PROFILES["scdx4p25"]
+    assert p.argument_ratio == 4 and p.partition == 0.25
+    assert p.train_subset == "train4p25"
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scd")
+    archive = str(root / "scdx16p100.d")
+    make_archive(archive, num_images=2, reps=2, clips_per_image=6, size=128)
+    cfg = Configuration()
+    cfg.update_config(
+        {
+            "datasetName": "scdx16p100",
+            "modelName": "centerOffsetRes10q",
+            "trainName": "smoke",
+            "batchSize": 8,
+            "validationBatchSize": 4,
+            "iterations": 3,
+            "validation": 2,
+            "snapshot": 2,
+            "learningRate": 1e-3,
+            "learningRateDecay": [2],
+            "learningRateDecayRate": [10],
+            "dirTemp": str(root / "temp") + "/",
+            "dirResult": str(root / "results") + "/",
+            "dirDataset": str(root) + "/",
+        }
+    )
+    dataset = SCDDataset(
+        archive, None, argument_ratio=16, partition=1.0,
+        train_subset="train16p100", test_set=4,
+        split_profile_path=cfg.dirDataSplitProfile,
+    )
+    return cfg, dataset, root
+
+
+def test_dataset_shapes_and_split(tiny_env):
+    cfg, dataset, root = tiny_env
+    # 2 images x 2 reps x 6 clips = 24 total, 4 validation
+    assert len(dataset) == 20
+    assert dataset.samples.shape[1:] == (128, 128)
+    split = json.load(open(cfg.dirDataSplitProfile))
+    assert len(split["validation"]) == 4
+    assert len(split["train16p100"]) == 20
+    batches = list(dataset.epoch_batches(8))
+    assert len(batches) == 2  # drop_last
+    s, l, c = batches[0]
+    assert s.shape == (8, 128, 128) and l.shape == (8, 30, 8) and c.shape == (8,)
+
+    # split profile reuse path
+    ds2 = SCDDataset(
+        str(root / "scdx16p100.d"), split, argument_ratio=16, partition=1.0,
+        train_subset="train16p100",
+    )
+    assert set(ds2.order) == set(split["train16p100"])
+
+
+def test_training_loop_and_checkpoint(tiny_env):
+    cfg, dataset, root = tiny_env
+    factory = NetworkFactory(cfg, dataset=dataset)
+    factory.begin_training()
+
+    # loss CSV written at snapshot iteration with 5 columns
+    loss_file = os.path.join(cfg.dirResult, "losses.smoke.2.txt")
+    assert os.path.exists(loss_file)
+    rows = np.loadtxt(loss_file, delimiter=",").reshape(-1, 5)
+    assert rows.shape[0] == 2
+    assert np.all(np.isfinite(rows))
+
+    # evals text written with the [Tr]/[It] lines
+    evals = open(os.path.join(cfg.dirResult, "evals.smoke.txt")).read()
+    assert "Experiment: smoke" in evals
+    assert "[Tr]" in evals and "[It]" in evals and "[mIoU]" in evals
+
+    # checkpoint resume: loads without error and keeps training
+    ckpt = os.path.join(cfg.dirTemp, "centerOffsetRes10q.smoke.2.pth")
+    assert os.path.exists(ckpt)
+    cfg.update_config({"currentIter": 2, "iterations": 4})
+    factory2 = NetworkFactory(cfg, dataset=dataset)
+    factory2.begin_training()
