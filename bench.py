@@ -1,0 +1,275 @@
+"""bench.py — end-to-end training throughput on the local accelerator.
+
+Measures 512x512 clips/sec/chip for the flagship pipeline: fused on-device
+augmentation + Gaussian label rendering + ResNet-10 CenterNet-offset
+forward/backward + Adam update (the BASELINE.json "preprocess+train"
+metric).
+
+``vs_baseline`` is the ratio against the equivalent PyTorch-CPU pipeline
+(host-side numpy label stamping + torch train step on an
+architecture-equivalent ResNet-10), matching how the reference actually
+ran: host augmentation in Dataset.__getitem__ + torch forward/backward.
+The baseline number is cached in ``bench_baseline.json``; pass
+``--refresh-baseline`` to re-measure.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+
+def _make_batch(batch: int, size: int, k: int = 30, objects: int = 8):
+    rng = np.random.default_rng(0)
+    samples = rng.normal(180.0, 20.0, (batch, size, size)).astype(np.float32)
+    locs = np.zeros((batch, k, 8), np.float32)
+    heat = size // 4
+    for b in range(batch):
+        for i in range(objects):
+            locs[b, i] = [
+                rng.uniform(4, heat - 4), rng.uniform(4, heat - 4),
+                rng.uniform(0, 4), rng.uniform(0, 4),
+                rng.uniform(2, 6), rng.uniform(2, 6),
+                rng.uniform(1, 4), rng.uniform(3, 10),
+            ]
+    counts = np.full(batch, objects, np.int32)
+    return samples, locs, counts
+
+
+def bench_jax(batch: int, size: int, steps: int, warmup: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from scd_resnet_tpu.data.pipeline import augment_and_render_batch
+    from scd_resnet_tpu.models.center_net_offset import (
+        CenterNetLoss,
+        CenterNetResidual,
+    )
+
+    model = CenterNetResidual(num_layers=10)
+    loss_fn = CenterNetLoss(0.1, 0.1)
+    tx = optax.adam(1.25e-4)
+    heat_size = size // 4
+
+    samples, locs, counts = _make_batch(batch, size)
+    x0 = jnp.zeros((batch, size, size, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, samples, locs, counts, key):
+        xs, ys = augment_and_render_batch(key, samples, locs, counts, heat_size)
+
+        def objective(p):
+            outs, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                xs, train=True, mutable=["batch_stats"],
+            )
+            loss, _ = loss_fn([outs], ys)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    samples = jnp.asarray(samples)
+    locs = jnp.asarray(locs)
+    counts = jnp.asarray(counts)
+    key = jax.random.PRNGKey(1)
+
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, samples, locs, counts, sub
+        )
+    # NOTE: use a host transfer as the barrier, not block_until_ready — on
+    # the experimental axon TPU-tunnel platform block_until_ready returns
+    # before the queued work completes, inflating throughput ~50x. A
+    # device->host read cannot lie.
+    float(loss)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, samples, locs, counts, sub
+        )
+    float(loss)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def bench_torch_cpu(batch: int, size: int, steps: int) -> float:
+    """Architecture-equivalent ResNet-10 CenterNet-offset train step on
+    torch CPU, including the host-side label stamping the reference does in
+    its Dataset (scdx16p100.py:514-531)."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    heat = size // 4
+
+    class Block(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.c1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.b1 = tnn.BatchNorm2d(cout)
+            self.c2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.b2 = tnn.BatchNorm2d(cout)
+            self.down = (
+                tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout),
+                )
+                if stride != 1 or cin != cout
+                else None
+            )
+
+        def forward(self, x):
+            r = x if self.down is None else self.down(x)
+            y = tF.relu(self.b1(self.c1(x)))
+            y = self.b2(self.c2(y))
+            return tF.relu(y + r)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Sequential(
+                tnn.Conv2d(1, 64, 7, 2, 3, bias=False), tnn.BatchNorm2d(64),
+                tnn.ReLU(), tnn.MaxPool2d(3, 2, 1),
+            )
+            self.stages = tnn.Sequential(
+                Block(64, 64), Block(64, 128, 2), Block(128, 256, 2),
+                Block(256, 512, 2),
+            )
+            ups = []
+            cin = 512
+            for cout in (256, 256, 256):
+                ups += [
+                    tnn.ConvTranspose2d(cin, cout, 4, 2, 1, bias=False),
+                    tnn.BatchNorm2d(cout), tnn.ReLU(),
+                ]
+                cin = cout
+            self.ups = tnn.Sequential(*ups)
+            self.heads = tnn.ModuleDict(
+                {
+                    name: tnn.Sequential(
+                        tnn.Conv2d(256, 128, 3, 1, 1), tnn.ReLU(),
+                        tnn.Conv2d(128, dim, 1),
+                    )
+                    for name, dim in (("heatmap", 1), ("regr", 4), ("offset", 2))
+                }
+            )
+
+        def forward(self, x):
+            x = self.ups(self.stages(self.stem(x)))
+            return {k: h(x) for k, h in self.heads.items()}
+
+    def stamp_labels(locs, counts):
+        """Host-side per-object gaussian stamping, the reference's hot loop."""
+        b = len(counts)
+        heatmaps = np.zeros((b, heat, heat), np.float32)
+        for i in range(b):
+            for j in range(counts[i]):
+                x, y = int(locs[i, j, 0]), int(locs[i, j, 1])
+                w = 2 * math.sqrt(locs[i, j, 4] ** 2 + locs[i, j, 5] ** 2)
+                h = 2 * locs[i, j, 6]
+                b1 = h + w
+                c1 = w * h * 0.5 / 1.5
+                r = (b1 + math.sqrt(b1 * b1 - 4 * c1)) / 2
+                roi = int(math.ceil(2 * r))
+                sig = max(r / 3, 1e-3)
+                l_, r_ = min(roi, x), min(roi, heat - x - 1)
+                t_, bt = min(roi, y), min(roi, heat - y - 1)
+                yy, xx = np.ogrid[-t_:bt + 1, -l_:r_ + 1]
+                g = np.exp(-(xx * xx + yy * yy) / (2 * sig * sig))
+                heatmaps[i, y - t_:y + bt + 1, x - l_:x + r_ + 1] += g
+            np.clip(heatmaps[i], 0, 1, out=heatmaps[i])
+        return heatmaps
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1.25e-4)
+    samples, locs, counts = _make_batch(batch, size)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        heatmaps = stamp_labels(locs, counts)
+        x = torch.from_numpy(samples).unsqueeze(1)
+        x = (x - x.mean()) / x.std()
+        gt = torch.from_numpy(heatmaps).unsqueeze(1)
+        outs = net(x)
+        pred = torch.clamp(torch.sigmoid(outs["heatmap"]), 1e-4, 1 - 1e-4)
+        pos = gt.eq(1.0)
+        neg = ~pos
+        num_pos = pos.float().sum().clamp(min=1)
+        floss = -(
+            (torch.log(pred[pos]) * (1 - pred[pos]) ** 2).sum()
+            + (
+                torch.log(1 - pred[neg]) * pred[neg] ** 2 * (1 - gt[neg]) ** 4
+            ).sum()
+        ) / num_pos
+        rloss = outs["regr"].abs().mean() + outs["offset"].abs().mean()
+        loss = floss + 0.1 * rloss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny shapes, sanity only")
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--refresh-baseline", action="store_true")
+    args = parser.parse_args()
+
+    size = 128 if args.quick else 512
+    batch = 8 if args.quick else args.batch
+    steps = 5 if args.quick else args.steps
+
+    value = bench_jax(batch, size, steps, args.warmup)
+
+    baseline = None
+    if os.path.exists(BASELINE_CACHE) and not args.refresh_baseline:
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+        if cache.get("size") == size:
+            baseline = cache["clips_per_sec"]
+    if baseline is None:
+        bsteps = 1 if args.quick else 2
+        bbatch = min(batch, 8)
+        baseline = bench_torch_cpu(bbatch, size, bsteps)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"size": size, "clips_per_sec": baseline,
+                       "note": "torch-CPU preprocess+train, this machine"}, f)
+
+    print(json.dumps({
+        "metric": "512x512 clips/sec/chip (preprocess+train)"
+        if not args.quick else "128x128 clips/sec/chip (quick)",
+        "value": round(value, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,15 +1,20 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
 mesh/psum logic is exercised without TPUs (SURVEY.md §4 test strategy (c)).
 
-Must run before jax initializes, hence env vars at import time.
+Note: this machine tunnels to a real TPU chip via the experimental 'axon'
+platform, which ignores the JAX_PLATFORMS env var — the explicit
+``jax.config.update`` below is what actually pins tests to CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
