@@ -121,42 +121,56 @@ class SCDDataset:
     # ---- validation ------------------------------------------------------
 
     def _build_validation(self) -> None:
+        self._validation_cache: Dict[bool, Dict] = {}
+
+    def _render_validation(self, corner_targets: bool) -> Optional[Dict]:
+        """Pre-render the validation set once per target family
+        (scdx16p100.py:199-286), no augmentation."""
+        if corner_targets in self._validation_cache:
+            return self._validation_cache[corner_targets]
         val_ids = np.asarray(self.data_profile["validation"], np.int64)
         if len(val_ids) == 0:
-            self.validation = None
-            return
+            return None
         samples = self.samples[val_ids]
         locs = self.locs[val_ids]
         counts = self.counts[val_ids]
-        # pre-render once, no augmentation (scdx16p100.py:199-286)
         xs, ys = augment_and_render_batch(
             jax.random.PRNGKey(0), samples, locs, counts, self.heat_size,
-            augment=False,
+            augment=False, corner_targets=corner_targets,
         )
-        self.validation = {
-            "xs": [xs],
-            # ys[3] carries the full float loc records for the [It] metric
-            # path (the reference's getValidationSet passes fixedLocs there,
-            # scdx16p100.py:404-414 + centerNetEvaluation:287-292) and ys[5]
+        if corner_targets:
+            # corner-family layout: [heat, mask, regr, inds, tl, br]
+            packed = {"xs": [xs], "ys": list(ys)}
+        else:
+            # center-family layout: ys[3] carries the full float loc records
+            # for the [It] metric path (the reference's getValidationSet
+            # passes fixedLocs there, scdx16p100.py:404-414 +
+            # centerNetEvaluation:287-292), ys[4] the object counts, ys[5]
             # the integer indices.
-            "ys": [ys[0], ys[1], ys[2], jax.numpy.asarray(locs),
-                   jax.numpy.asarray(counts), ys[3]],
-        }
+            packed = {
+                "xs": [xs],
+                "ys": [ys[0], ys[1], ys[2], jax.numpy.asarray(locs),
+                       jax.numpy.asarray(counts), ys[3]],
+            }
+        self._validation_cache[corner_targets] = packed
+        return packed
 
-    def get_validation_set(self, validation_batch_size: int) -> List[Dict]:
+    def get_validation_set(self, validation_batch_size: int,
+                           corner_targets: bool = False) -> List[Dict]:
         """Chunk the pre-rendered validation set (scdx16p100.py:381-414)."""
-        if self.validation is None:
+        validation = self._render_validation(corner_targets)
+        if validation is None:
             return []
-        total = int(self.validation["xs"][0].shape[0])
+        total = int(validation["xs"][0].shape[0])
         if total <= validation_batch_size:
-            return [self.validation]
+            return [validation]
         batches = []
         for k in range(total // validation_batch_size):
             sl = slice(k * validation_batch_size, (k + 1) * validation_batch_size)
             batches.append(
                 {
-                    "xs": [self.validation["xs"][0][sl]],
-                    "ys": [y[sl] for y in self.validation["ys"]],
+                    "xs": [validation["xs"][0][sl]],
+                    "ys": [y[sl] for y in validation["ys"]],
                 }
             )
         return batches

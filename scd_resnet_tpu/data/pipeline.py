@@ -41,10 +41,11 @@ def _flip_locs_y(locs, heat_size):
     return out
 
 
-@partial(jax.jit, static_argnames=("heat_size", "augment"))
+@partial(jax.jit, static_argnames=("heat_size", "augment", "corner_targets"))
 def augment_and_render_batch(key, samples, locs, counts, heat_size: int,
                              augment: bool = True, noise_sv: float = 0.05,
-                             jitter_sv: float = 0.05):
+                             jitter_sv: float = 0.05,
+                             corner_targets: bool = False):
     """Batch transform: raw clips + loc records -> (xs, ys) training arrays.
 
     Args:
@@ -106,4 +107,55 @@ def augment_and_render_batch(key, samples, locs, counts, heat_size: int,
 
     xs = samples[..., None]
     ys = [heat[..., None], tag_mask, regr, indices]
+
+    if corner_targets == "legacy":
+        # original-CornerNet targets (models/corner_net_legacy.py):
+        # float corner = (center + offset/4) -/+ (|maj|, minL); integer part
+        # indexes the heatmap, fractional part is the offset regression
+        # target. ys = [tlHeat, brHeat, mask, tlRegr, brRegr, tlInds, brInds]
+        from scd_resnet_tpu.ops.radius import corner_threshold_radius
+
+        maj_l = jnp.sqrt(locs[:, :, 4] ** 2 + locs[:, :, 5] ** 2)
+        half = jnp.stack([maj_l, locs[:, :, 6]], axis=-1)
+        center_float = locs[:, :, 0:2] + locs[:, :, 2:4] / 4.0
+
+        def corner_pack(sign):
+            true = center_float + sign * half
+            ints = jnp.floor(true)
+            frac = true - ints
+            in_b = ((ints[..., 0] >= 0) & (ints[..., 0] < heat_size)
+                    & (ints[..., 1] >= 0) & (ints[..., 1] < heat_size))
+            cmask = present & in_b
+            inds = (ints[..., 1] * heat_size + ints[..., 0]).astype(jnp.int32)
+            inds = jnp.where(cmask, inds, 0)
+            offs = true - locs[:, :, 0:2]  # displacement for the renderer
+            render = lambda l, v, off: render_heatmap(  # noqa: E731
+                l, v, heat_size, THRESHOLD_IOU,
+                radius_fn=corner_threshold_radius, position_offset=off,
+            )
+            heatc = jax.vmap(render)(locs, present, offs)
+            return heatc[..., None], frac, inds, cmask
+
+        tl_heat, tl_regr, tl_inds, tl_mask = corner_pack(-1.0)
+        br_heat, br_regr, br_inds, br_mask = corner_pack(1.0)
+        mask = tl_mask & br_mask
+        return xs, [tl_heat, br_heat, mask, tl_regr, br_regr, tl_inds, br_inds]
+
+    if corner_targets:
+        # top-left / bottom-right corner heatmaps for the cornerNet family:
+        # corners at center -/+ (|maj|, minL) — the box geometry the
+        # evaluation uses (centerNetOffset.py:262-271) — with the corner
+        # radius solver (intersection.py:40-44).
+        from scd_resnet_tpu.ops.radius import corner_threshold_radius
+
+        maj_l = jnp.sqrt(locs[:, :, 4] ** 2 + locs[:, :, 5] ** 2)
+        half = jnp.stack([maj_l, locs[:, :, 6]], axis=-1)  # (B, K, 2)
+        render = lambda l, v, off: render_heatmap(  # noqa: E731
+            l, v, heat_size, THRESHOLD_IOU,
+            radius_fn=corner_threshold_radius, position_offset=off,
+        )
+        tl = jax.vmap(render)(locs, present, -half)
+        br = jax.vmap(render)(locs, present, half)
+        ys = ys + [tl[..., None], br[..., None]]
+
     return xs, ys

@@ -39,6 +39,14 @@ HEATMAP_SIZE = 128
 DOWNSAMPLE = 4
 
 
+def as_stack_list(outs):
+    """Normalize model output to a list of per-stack head dicts: the ResNet
+    backbone returns one dict, the stacked hourglass a list (the
+    reference's list-of-dicts contract, residuals.py:334 /
+    stackHourglass.py:196-229)."""
+    return outs if isinstance(outs, (list, tuple)) else [outs]
+
+
 def _terminals(hidden: int) -> List[TerminalSpec]:
     return [
         TerminalSpec("heatmap", CLASS_DIMENSION, hidden, final_bias=-2.19),
@@ -61,6 +69,33 @@ class CenterNetResidual(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         return ResNetBackbone(
             self.num_layers, _terminals(self.terminal_hidden), tuple(self.dims)
+        )(x, train)
+
+
+class CenterNetHourglass(nn.Module):
+    """Stacked-hourglass center detector (centerNetOffset.py:78-101):
+    5 hourglass iterations, dims [128,128,192,192,192,256], modules
+    [2,2,2,2,2,4], stride-2 downsampling (identity pool), heads
+    heatmap(1)/regr(4)/offset(2) at prediction dim 256."""
+
+    stacks: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from scd_resnet_tpu.models.hourglass import StackHourglass
+
+        return StackHourglass(
+            hourglass_iterations=5,
+            stacks=self.stacks,
+            dimensions=(128, 128, 192, 192, 192, 256),
+            modules=(2, 2, 2, 2, 2, 4),
+            prediction_dim=256,
+            terminals=(
+                ("heatmap", CLASS_DIMENSION, -2.19),
+                ("regr", 4, None),
+                ("offset", 2, None),
+            ),
+            pool_downsample=False,
         )(x, train)
 
 

@@ -1,0 +1,262 @@
+"""CornerNet-style detectors on the ResNet backbone.
+
+Three model families re-designed from the reference (all three were
+unimportable as committed — broken imports, SURVEY.md defect #1 — so this
+rebuild makes them actually trainable, as BASELINE.json requires):
+
+- ``CornerNetResidual`` (models/cornerNet.py:200-230): heads heatmap(1) +
+  tl(1) + br(1), plain conv terminals, 3x focal loss (234-270),
+  3x sigmoid->NMS->top-K decode (272-304);
+- ``CornerNetCPoolResidual`` (models/cornerNetCPool.py): same, but the
+  tl/br terminals get a real corner-pooling prologue — the ``CornerPool``
+  fusion block (two 3x3 conv branches, directional running-max pools,
+  merge + shortcut; cornerNetCPool.py:53-122) built on the cummax corner
+  pools in ops/corner_pool.py (replacing the reference's C++ extensions);
+- ``CornerNetCombined`` (models/cornerNetCombined.py): one heatmap(3)
+  terminal whose channels 0/1/2 are center/tl/br, sliced in the loss and
+  decode (242-305).
+
+Dataset contract: the corner families train with ``corner_targets=True``
+batches — ``ys = [heat, tagMask, regr, inds, tlHeat, brHeat]`` (the
+reference's corner dataset is absent from its repo; this layout is this
+framework's, documented here).
+
+The reference's corner evaluation called undefined functions
+(``averagePrecision``, cornerNet.py:43); here ``corner_net_evaluation``
+defines peak AP concretely: a decoded peak is a true positive when the
+ground-truth Gaussian at its pixel is at least the IoU threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from scd_resnet_tpu.models.layers import BatchNorm, ConvBlock, conv1x1
+from scd_resnet_tpu.models.resnet import (
+    DEFAULT_DIMENSIONS,
+    RESNET_SPEC,
+    ResNetBackbone,
+    TerminalSpec,
+)
+from scd_resnet_tpu.ops.corner_pool import bottom_pool, left_pool, right_pool, top_pool
+from scd_resnet_tpu.ops.decode import (
+    clamp_sigmoid,
+    extract_topk,
+    non_maximum_suppression,
+    reshape_gather_features,
+)
+from scd_resnet_tpu.ops.losses import focal_loss
+
+CLASS_DIMENSION = 1
+
+
+class CornerPoolBlock(nn.Module):
+    """Corner-pool fusion block (cornerNetCPool.py:53-122): two 128-wide
+    conv branches with directional pools, merged 3x3 conv + BN, plus a
+    1x1 conv + BN shortcut, ReLU, and a final 3x3 conv block."""
+
+    features: int
+    pools: Sequence  # two pooling callables, e.g. (top_pool, left_pool)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p1 = ConvBlock(128, 3)(x, train)
+        p1 = self.pools[0](p1)
+        p2 = ConvBlock(128, 3)(x, train)
+        p2 = self.pools[1](p2)
+
+        merged = nn.Conv(self.features, (3, 3), padding=1, use_bias=False)(p1 + p2)
+        merged = BatchNorm()(merged, train)
+
+        shortcut = conv1x1(self.features)(x)
+        shortcut = BatchNorm()(shortcut, train)
+
+        out = nn.relu(merged + shortcut)
+        return ConvBlock(self.features, 3)(out, train)
+
+
+def _heat_terminals() -> List[TerminalSpec]:
+    return [
+        TerminalSpec("heatmap", CLASS_DIMENSION, 128, final_bias=-2.19),
+        TerminalSpec("tl", CLASS_DIMENSION, 128, final_bias=-2.19),
+        TerminalSpec("br", CLASS_DIMENSION, 128, final_bias=-2.19),
+    ]
+
+
+class CornerNetResidual(nn.Module):
+    """Plain-terminal corner detector (cornerNet.py:200-230)."""
+
+    num_layers: int = 10
+    dims: Sequence[int] = DEFAULT_DIMENSIONS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        return ResNetBackbone(self.num_layers, _heat_terminals(),
+                              tuple(self.dims))(x, train)
+
+
+class _CornerHead(nn.Module):
+    """CornerPool prologue + Conv3x3(128)+ReLU+Conv1x1 terminal
+    (cornerNetCPool.py:163-199)."""
+
+    pools: Sequence
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = CornerPoolBlock(x.shape[-1], self.pools)(x, train)
+        x = nn.Conv(128, (3, 3), padding=1, use_bias=True)(x)
+        x = nn.relu(x)
+        return nn.Conv(
+            CLASS_DIMENSION, (1, 1), use_bias=True,
+            bias_init=nn.initializers.constant(-2.19),
+        )(x)
+
+
+class CornerNetCPoolResidual(nn.Module):
+    """Corner detector with real corner pooling on the tl/br heads
+    (cornerNetCPool.py:220-236)."""
+
+    num_layers: int = 10
+    dims: Sequence[int] = DEFAULT_DIMENSIONS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        # shared trunk (stem + stages + deconvs), then the plain center head
+        # and the corner-pooled tl/br heads on the same feature map
+        features = _ResNetTrunk(self.num_layers, tuple(self.dims))(x, train)
+        heat = nn.Conv(128, (3, 3), padding=1, use_bias=True)(features)
+        heat = nn.relu(heat)
+        heat = nn.Conv(CLASS_DIMENSION, (1, 1), use_bias=True,
+                       bias_init=nn.initializers.constant(-2.19))(heat)
+        tl = _CornerHead((top_pool, left_pool), name="tl_head")(features, train)
+        br = _CornerHead((bottom_pool, right_pool), name="br_head")(features, train)
+        return {"heatmap": heat, "tl": tl, "br": br}
+
+
+class _ResNetTrunk(nn.Module):
+    """ResNet stem + stages + deconvs, without terminal heads."""
+
+    num_layers: int
+    dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from scd_resnet_tpu.models.layers import max_pool_3x3_s2
+
+        block, stages = RESNET_SPEC[self.num_layers]
+        dims = tuple(self.dims)
+        x = nn.Conv(dims[0], (7, 7), strides=(2, 2), padding=3, use_bias=False)(x)
+        x = BatchNorm()(x, train)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+        for stage_idx, (features, blocks) in enumerate(zip(dims[1:5], stages)):
+            stride = 1 if stage_idx == 0 else 2
+            needs_down = stride != 1 or x.shape[-1] != features * block.expansion
+            x = block(features, stride, downsample=needs_down)(x, train)
+            for _ in range(1, blocks):
+                x = block(features)(x, train)
+        for features in dims[5:8]:
+            x = nn.ConvTranspose(
+                features, (4, 4), strides=(2, 2), padding="SAME",
+                use_bias=False,
+                kernel_init=nn.initializers.normal(stddev=0.001),
+            )(x)
+            x = BatchNorm()(x, train)
+            x = nn.relu(x)
+        return x
+
+
+class CornerNetCombined(nn.Module):
+    """Single heatmap(3) terminal; channels = center/tl/br
+    (cornerNetCombined.py:213-230)."""
+
+    num_layers: int = 10
+    dims: Sequence[int] = DEFAULT_DIMENSIONS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        return ResNetBackbone(
+            self.num_layers,
+            [TerminalSpec("heatmap", 3, 128, final_bias=-2.19)],
+            tuple(self.dims),
+        )(x, train)
+
+
+def _split_combined(out: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    heat = out["heatmap"]
+    return {
+        "heatmap": heat[..., 0:1],
+        "tl": heat[..., 1:2],
+        "br": heat[..., 2:3],
+    }
+
+
+class CornerNetLoss:
+    """3x penalty-reduced focal over center/tl/br heatmaps
+    (cornerNet.py:234-270; cornerNetCombined slices channels, 242-270).
+
+    ``ys = [heat, tagMask, regr, inds, tlHeat, brHeat]``."""
+
+    def __init__(self, combined: bool = False):
+        self.combined = combined
+
+    def __call__(self, outs, ys):
+        heat_gt, tl_gt, br_gt = ys[0], ys[4], ys[5]
+        heats, tls, brs = [], [], []
+        for out in outs:
+            if self.combined:
+                out = _split_combined(out)
+            heats.append(clamp_sigmoid(out["heatmap"]))
+            tls.append(clamp_sigmoid(out["tl"]))
+            brs.append(clamp_sigmoid(out["br"]))
+        focal = (
+            focal_loss(heats, heat_gt)
+            + focal_loss(tls, tl_gt)
+            + focal_loss(brs, br_gt)
+        )
+        loss = focal / len(heats)
+        return loss, [focal]
+
+
+def decode_corner_net(out_dict: Dict[str, jnp.ndarray], k: int = 100,
+                      nms_kernel_size: int = 3, combined: bool = False):
+    """3x sigmoid -> NMS -> top-K (cornerNet.py:272-304). Returns
+    ``[ctS, ctI, ctY, ctX, tlS, tlI, tlY, tlX, brS, brI, brY, brX, dict]``."""
+    if combined:
+        out_dict = _split_combined(out_dict)
+    rows = []
+    for head in ("heatmap", "tl", "br"):
+        heat = non_maximum_suppression(
+            jax.nn.sigmoid(out_dict[head]), nms_kernel_size
+        )
+        scores, inds, _cats, ys, xs = extract_topk(heat, k)
+        rows += [scores, inds, ys, xs]
+    return rows + [out_dict]
+
+
+def corner_net_evaluation(xs, ys, ct_s, ct_i, ct_y, ct_x, tl_s, tl_i, tl_y,
+                          tl_x, br_s, br_i, br_y, br_x, out_dict):
+    """Peak AP battery: a decoded peak is a true positive when the
+    ground-truth Gaussian value at its pixel >= the AP threshold. Returns
+    per-head (tp_value, score, mask) triples; the expression computes AP50
+    and AP75 per head (the reference's intended but undefined metrics,
+    cornerNet.py:306-321)."""
+
+    def gt_at(gt_heat, inds):
+        flat = gt_heat[..., 0].reshape(gt_heat.shape[0], -1)
+        return jnp.take_along_axis(flat, inds, axis=1)
+
+    obj_num = jnp.asarray(ys[1], jnp.float32).sum(axis=1)
+    valid_ct = ct_s >= 0.3
+    valid_tl = tl_s >= 0.3
+    valid_br = br_s >= 0.3
+    return {
+        "heat": (gt_at(ys[0], ct_i), ct_s, valid_ct),
+        "tl": (gt_at(ys[4], tl_i), tl_s, valid_tl),
+        "br": (gt_at(ys[5], br_i), br_s, valid_br),
+        "objs": obj_num,
+    }

@@ -1,0 +1,178 @@
+"""Recursive hourglass and stacked-hourglass backbones.
+
+TPU-native re-design of models/backbones/hourglass.py (recursive module,
+61-114) and models/backbones/stackHourglass.py (stacked network with
+terminal heads, inter-stack shortcuts, 130-272).
+
+One hourglass level:
+
+    up1  = residual stack at the current dimension        (preserve)
+    low  = downsample -> residual stack to next dimension (change)
+    low2 = recurse (or central residual stack at the innermost level)
+    low3 = residual stack back to the current dimension   (change back)
+    up2  = 2x nearest-neighbor upsample
+    out  = up1 + up2
+
+Downsampling is either a 2x max-pool (the original CornerNet recipe) or a
+stride-2 first residual (the reference's CenterNetHourglass variant, which
+passes an identity pool and a stride-2 pre-stack —
+centerNetOffset.py:70-76, 87-101).
+
+The stacked network: 4x preprocess (Conv7/s2 + Residual/s2), then per stack
+hourglass -> redim conv -> terminal heads, with shortcut/merge between
+stacks (stackHourglass.py:196-229). ``__call__`` returns the list of
+per-stack head dicts; decode consumes the LAST stack (the reference's
+evalNetwork collects only the final stack, stackHourglass.py:231-264).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from scd_resnet_tpu.models.layers import BatchNorm, ConvBlock, conv1x1
+from scd_resnet_tpu.models.resnet import Residual
+
+
+class ResidualStack(nn.Module):
+    """`modules` residuals; dimension change in the first block
+    (utility.py:35-42 stackLayers)."""
+
+    features: int
+    modules: int
+    first_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Residual(self.features, self.first_stride)(x, train)
+        for _ in range(1, self.modules):
+            x = Residual(self.features)(x, train)
+        return x
+
+
+class ResidualStackReverted(nn.Module):
+    """`modules` residuals; dimension change in the last block
+    (utility.py:44-49 stackLayersReverted)."""
+
+    features: int
+    modules: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_features = x.shape[-1]
+        for _ in range(self.modules - 1):
+            x = Residual(in_features)(x, train)
+        return Residual(self.features)(x, train)
+
+
+class Hourglass(nn.Module):
+    """Recursive hourglass (hourglass.py:61-114)."""
+
+    iterations: int
+    dimensions: Sequence[int]
+    modules: Sequence[int]
+    pool_downsample: bool = True  # False => stride-2 first residual instead
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims = tuple(self.dimensions)
+        mods = tuple(self.modules)
+        cur_dim, nxt_dim = dims[0], dims[1]
+        cur_mod = mods[0]
+
+        up1 = ResidualStack(cur_dim, cur_mod)(x, train)
+
+        if self.pool_downsample:
+            low = nn.max_pool(x, (2, 2), strides=(2, 2))
+            low = ResidualStack(nxt_dim, cur_mod)(low, train)
+        else:
+            low = ResidualStack(nxt_dim, cur_mod, first_stride=2)(x, train)
+
+        if self.iterations > 1:
+            low = Hourglass(
+                self.iterations - 1, dims[1:], mods[1:], self.pool_downsample
+            )(low, train)
+        else:
+            low = ResidualStack(nxt_dim, mods[1])(low, train)
+
+        low = ResidualStackReverted(cur_dim, cur_mod)(low, train)
+
+        b, h, w, c = low.shape
+        up2 = jnp.repeat(jnp.repeat(low, 2, axis=1), 2, axis=2)
+        return up1 + up2
+
+
+class HourglassHead(nn.Module):
+    """convolutionConv1x1 terminal: Conv3x3 (no BN, biased) + ReLU via
+    ConvBlock, then 1x1 conv (utility.py:61-65); ``final_bias`` implements
+    the heatmap prior init (centerNetOffset.py:54-55)."""
+
+    out_features: int
+    hidden: int
+    final_bias: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBlock(self.hidden, 3, batch_norm=False)(x)
+        bias_init = (
+            nn.initializers.constant(self.final_bias)
+            if self.final_bias is not None
+            else nn.initializers.zeros_init()
+        )
+        return nn.Conv(self.out_features, (1, 1), use_bias=True,
+                       bias_init=bias_init)(x)
+
+
+class StackHourglass(nn.Module):
+    """Stacked hourglass with terminal heads (stackHourglass.py:130-272).
+
+    ``terminals`` maps head name -> (out_features, final_bias | None).
+    Returns a list of per-stack ``{head: (B, H/4, W/4, C)}`` dicts.
+    """
+
+    hourglass_iterations: int = 5
+    stacks: int = 1
+    dimensions: Sequence[int] = (128, 128, 192, 192, 192, 256)
+    modules: Sequence[int] = (2, 2, 2, 2, 2, 4)
+    prediction_dim: int = 256
+    terminals: Sequence[Tuple[str, int, Optional[float]]] = (
+        ("heatmap", 1, -2.19),
+    )
+    pool_downsample: bool = False
+    input_features: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+        cur_dim = self.dimensions[0]
+
+        # 4x preprocess: Conv7/s2 + Residual/s2 (stackHourglass.py:130-134)
+        inter = ConvBlock(128, 7, stride=2)(x, train)
+        inter = Residual(cur_dim, stride=2)(inter, train)
+
+        outs: List[Dict[str, jnp.ndarray]] = []
+        for stack_idx in range(self.stacks):
+            kp = Hourglass(
+                self.hourglass_iterations, self.dimensions, self.modules,
+                self.pool_downsample,
+            )(inter, train)
+            cnv = ConvBlock(self.prediction_dim, 3)(kp, train)
+
+            out = {
+                name: HourglassHead(
+                    features, cur_dim, final_bias=bias, name=f"{name}_{stack_idx}"
+                )(cnv)
+                for name, features, bias in self.terminals
+            }
+            outs.append(out)
+
+            if stack_idx < self.stacks - 1:
+                shortcut = conv1x1(cur_dim)(inter)
+                shortcut = BatchNorm()(shortcut, train)
+                prev = conv1x1(cur_dim)(cnv)
+                prev = BatchNorm()(prev, train)
+                inter = nn.relu(shortcut + prev)
+                inter = Residual(cur_dim)(inter, train)
+
+        return outs

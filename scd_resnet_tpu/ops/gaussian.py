@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from scd_resnet_tpu.ops.radius import center_threshold_radius
 
 
-def render_heatmap(locs, valid, size: int, iou_threshold: float = 0.5):
+def render_heatmap(locs, valid, size: int, iou_threshold: float = 0.5,
+                   radius_fn=None, position_offset=None):
     """Render a (size, size) Gaussian heatmap from up to K objects.
 
     Args:
@@ -34,6 +35,12 @@ def render_heatmap(locs, valid, size: int, iou_threshold: float = 0.5):
       size: heatmap side length (128 for the SCD pipeline).
       iou_threshold: IoU used by the radius solver (0.5 at train time,
         scdx16p100.py:52).
+      radius_fn: radius solver, ``center_threshold_radius`` by default;
+        pass ``corner_threshold_radius`` for CornerNet-style corner
+        heatmaps (intersection.py:40-44).
+      position_offset: optional (K, 2) displacement added to the centers
+        before stamping — used to render top-left / bottom-right corner
+        heatmaps from the same loc records.
 
     Returns:
       (size, size) float32 heatmap with peaks exactly 1.0 at object centers
@@ -45,15 +52,21 @@ def render_heatmap(locs, valid, size: int, iou_threshold: float = 0.5):
     # integer-truncated centers; reference uses int() which truncates toward
     # zero — valid objects are non-negative so trunc == floor there, and
     # invalid ones are masked out below.
-    cx = jnp.trunc(locs[:, 0])
-    cy = jnp.trunc(locs[:, 1])
+    px = locs[:, 0]
+    py = locs[:, 1]
+    if position_offset is not None:
+        px = px + position_offset[:, 0]
+        py = py + position_offset[:, 1]
+    cx = jnp.trunc(px)
+    cy = jnp.trunc(py)
 
     in_bounds = (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
     mask = jnp.asarray(valid, bool) & in_bounds
 
     width = 2.0 * jnp.sqrt(locs[:, 4] ** 2 + locs[:, 5] ** 2)
     height = 2.0 * locs[:, 6]
-    radius = center_threshold_radius(width, height, iou_threshold)
+    solver = radius_fn if radius_fn is not None else center_threshold_radius
+    radius = solver(width, height, iou_threshold)
     # guard degenerate objects so masked lanes don't produce NaNs
     radius = jnp.where(mask & (radius > 0), radius, 1.0)
 

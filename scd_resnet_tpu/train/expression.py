@@ -80,6 +80,40 @@ def aggregate_center_net(batches: List[Dict]) -> Dict[str, float]:
     return result
 
 
+def aggregate_corner_net(batches: List[Dict]) -> Dict[str, float]:
+    """Peak AP50/AP75 per head for the corner families. A decoded peak
+    counts as a true positive when the ground-truth Gaussian at its pixel
+    is >= the threshold (the reference's corner evaluation named these
+    metrics but the functions were missing, cornerNet.py:306-321)."""
+    result: Dict[str, float] = {}
+    obj_num = sum(float(np.asarray(b["objs"]).sum()) for b in batches)
+    for head in ("heat", "tl", "br"):
+        gts, scores = [], []
+        for batch in batches:
+            gt, sc, mask = batch[head]
+            gts.append(_masked(gt, mask))
+            scores.append(_masked(sc, mask))
+        gts = np.concatenate(gts) if gts else np.zeros(0)
+        scores = np.concatenate(scores) if scores else np.zeros(0)
+        denom = max(obj_num, float(len(gts)))
+        for t in (50, 75):
+            plots = average_precision_plots(gts, scores, denom, t / 100.0)
+            result[f"{head}AP{t}"] = average_precision_all(plots)
+    return result
+
+
+def expression_corner_net(batches: List[Dict]) -> str:
+    e = aggregate_corner_net(batches)
+    return (
+        "[heatAP50] {}    [heatAP75] {}    [tlAP50] {}    [tlAP75] {}    "
+        "[brAP50] {}    [brAP75] {}".format(
+            *(format(e[k] * 100, "-5.2f")
+              for k in ("heatAP50", "heatAP75", "tlAP50", "tlAP75",
+                        "brAP50", "brAP75"))
+        )
+    )
+
+
 def expression_center_net(batches: List[Dict]) -> str:
     """The exact report line format (centerOffsetRes10.py:88-106)."""
     e = aggregate_center_net(batches)

@@ -40,6 +40,7 @@ from scd_resnet_tpu.core.config import Configuration, default_config
 from scd_resnet_tpu.core.logging import Logger, StepTelemetry
 from scd_resnet_tpu.data.dataset import SCDDataset
 from scd_resnet_tpu.data.pipeline import augment_and_render_batch
+from scd_resnet_tpu.models.center_net_offset import as_stack_list
 from scd_resnet_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
 from scd_resnet_tpu.train.registry import get_dataset_profile, get_model_profile
 
@@ -144,10 +145,12 @@ class NetworkFactory:
 
     def _build_train_step(self):
         model, loss_fn, tx, heat_size = self.model, self.loss, self.tx, self.heat_size
+        corner_targets = self.profile.corner_targets
 
         def step(params, batch_stats, opt_state, samples, locs, counts, key):
             xs, ys = augment_and_render_batch(
-                key, samples, locs, counts, heat_size
+                key, samples, locs, counts, heat_size,
+                corner_targets=corner_targets,
             )
 
             def objective(p):
@@ -157,7 +160,7 @@ class NetworkFactory:
                     train=True,
                     mutable=["batch_stats"],
                 )
-                loss, stats = loss_fn([outs], ys)
+                loss, stats = loss_fn(as_stack_list(outs), ys)
                 return loss, (stats, mutated["batch_stats"])
 
             (loss, (stats, new_bs)), grads = jax.value_and_grad(
@@ -195,16 +198,21 @@ class NetworkFactory:
             outs = model.apply(
                 {"params": params, "batch_stats": batch_stats}, xs, train=False
             )
-            decoded = decode(outs)
+            # decode consumes the final stack (stackHourglass.py:231-264)
+            decoded = decode(as_stack_list(outs)[-1])
             return evaluation([xs], ys, *decoded)
 
         return jax.jit(step)
 
     def _build_augment(self):
         heat_size = self.heat_size
+        corner_targets = self.profile.corner_targets
 
         def fn(key, samples, locs, counts):
-            return augment_and_render_batch(key, samples, locs, counts, heat_size)
+            return augment_and_render_batch(
+                key, samples, locs, counts, heat_size,
+                corner_targets=corner_targets,
+            )
 
         return jax.jit(fn)
 
@@ -300,7 +308,8 @@ class NetworkFactory:
                     batches = [
                         jax.device_get(self.validate(item["xs"], item["ys"]))
                         for item in self.dataset.get_validation_set(
-                            cfg.validationBatchSize
+                            cfg.validationBatchSize,
+                            corner_targets=self.profile.corner_targets,
                         )
                     ]
                     it_line = "[It] {}:     ".format(format(it, "7d")) + \

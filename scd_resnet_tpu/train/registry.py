@@ -25,10 +25,15 @@ partition), which differ from each other only in three constants
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional
 
 from scd_resnet_tpu.models import center_net_offset as cno
-from scd_resnet_tpu.train.expression import expression_center_net
+from scd_resnet_tpu.models import corner_net as corner
+from scd_resnet_tpu.train.expression import (
+    expression_center_net,
+    expression_corner_net,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +45,8 @@ class ModelProfile:
     decode: Callable
     evaluation: Callable
     expression: Callable
+    # corner families train on batches carrying tl/br corner heatmaps
+    corner_targets: bool = False
 
     def build(self):
         return self.model_cls(**self.model_params)
@@ -108,6 +115,50 @@ for _depth in (10, 18, 34, 50):
 for _depth in (10, 18, 34, 50, 101):
     _center_offset(f"centerOffsetRes{_depth}h", _depth, _HALF, 64)
 _center_offset("centerOffsetRes10q", 10, _QUARTER, 64)
+
+# stacked-hourglass variant — present in the reference model file but only
+# reachable by editing the profile (centerOffsetRes10.py:10-11 commented);
+# here it is a first-class profile.
+register_model(
+    ModelProfile(
+        name="centerOffsetHourglass",
+        model_cls=cno.CenterNetHourglass,
+        model_params={"stacks": 1},
+        loss=cno.CenterNetLoss(0.1, 0.1),
+        decode=cno.decode_center_net,
+        evaluation=cno.center_net_evaluation,
+        expression=expression_center_net,
+    )
+)
+
+
+def _corner(name: str, model_cls, combined: bool = False,
+            num_layers: int = 10) -> None:
+    register_model(
+        ModelProfile(
+            name=name,
+            model_cls=model_cls,
+            model_params={"num_layers": num_layers},
+            loss=corner.CornerNetLoss(combined=combined),
+            decode=functools.partial(corner.decode_corner_net,
+                                     combined=combined),
+            evaluation=corner.corner_net_evaluation,
+            expression=expression_corner_net,
+            corner_targets=True,
+        )
+    )
+
+
+# corner families (BASELINE.json target configs: cornerNetCPool and
+# cornerNetCombined training) — unimportable in the reference as committed,
+# first-class here
+for _depth in (10, 18):
+    _corner(f"cornerRes{_depth}", corner.CornerNetResidual,
+            num_layers=_depth)
+    _corner(f"cornerCPoolRes{_depth}", corner.CornerNetCPoolResidual,
+            num_layers=_depth)
+    _corner(f"cornerCombinedRes{_depth}", corner.CornerNetCombined,
+            combined=True, num_layers=_depth)
 
 for _a in (1, 4, 8, 12, 16):
     for _p in (5, 10, 25, 50, 100):

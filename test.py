@@ -1,0 +1,90 @@
+"""test.py — full-slide inference client.
+
+Library + CLI mirror of the reference inference script (reference:
+test.py:41-183): tile a whole-slide image into overlapping 512x512 clips,
+run the traced decode model, stitch detections back into slide coordinates
+with the relative halo radius (Rhr), and optionally fit the two-Gaussian
+Rhr histogram.
+
+Usage:
+    python test.py -m model.pt slide1.png slide2.png [-o out.json] [--fit]
+
+Library surface keeps the reference names: ``gauss2``, ``grayscale``,
+``analyseImages``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from scd_resnet_tpu.infer.analyse import (
+    analyse_grayscale,
+    analyse_images,
+    fit_rhr,
+    gauss2,
+    rhr_histogram,
+)
+from scd_resnet_tpu.ops.image import grayscale_inference
+
+
+def grayscale(path):
+    """(grayscale, color) arrays, matching test.py:21-33."""
+    from PIL import Image
+
+    color = np.asarray(Image.open(path))
+    return grayscale_inference(color), color
+
+
+# reference-compatible alias (test.py:41)
+analyseImages = analyse_images
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="test.py - analyse whole-slide images with a traced model."
+    )
+    parser.add_argument("images", nargs="+", type=str, help="slide image paths")
+    parser.add_argument("-m", dest="model", type=str, required=True,
+                        help="traced model bundle (.pt from trace.py)")
+    parser.add_argument("-o", dest="output", type=str, default=None,
+                        help="write detections JSON here")
+    parser.add_argument("--fit", action="store_true",
+                        help="fit the two-Gaussian Rhr histogram")
+    args = parser.parse_args()
+
+    from scd_resnet_tpu.core.logging import Logger
+    from scd_resnet_tpu.infer.wrapper import load_traced
+
+    model, input_shape = load_traced(args.model)
+    Logger.info(":: test.py :: loaded traced model, input {}".format(input_shape))
+
+    register = []
+    for path in args.images:
+        detections = analyse_images(model, path)
+        Logger.log("{}: {} detections".format(path, len(detections)))
+        for det in detections:
+            register.append({"image": path, "x": det[0], "y": det[1],
+                             "rhr": det[2]})
+
+    result = {"detections": register}
+    if args.fit and register:
+        popt = fit_rhr([d["rhr"] for d in register])
+        result["gauss2"] = {
+            "a1": popt[0], "m1": popt[1], "s1": popt[2],
+            "a2": popt[3], "m2": popt[4], "s2": popt[5],
+        }
+        Logger.info(":: test.py :: gauss2 fit: {}".format(result["gauss2"]))
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(result, f, indent=2)
+        Logger.log("wrote {}".format(args.output))
+    else:
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Legacy model families: size-regression CenterNet and the full original
+CornerNet with associative embeddings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scd_resnet_tpu.data.pipeline import augment_and_render_batch
+from scd_resnet_tpu.models.center_net import (
+    CenterNetSizeLoss,
+    CenterNetSizeResidual,
+    center_net_size_evaluation,
+    decode_center_net_size,
+)
+from scd_resnet_tpu.models.corner_net_legacy import (
+    CornerNetLegacy,
+    CornerNetLegacyLoss,
+    decode_corner_net_legacy,
+)
+
+TINY = (16, 16, 32, 64, 128, 64, 64, 64)
+
+
+def _raw_batch():
+    rng = np.random.default_rng(1)
+    b, size, k = 2, 64, 5
+    samples = rng.normal(180, 20, (b, size, size)).astype(np.float32)
+    locs = np.zeros((b, k, 8), np.float32)
+    locs[:, 0] = [8, 8, 0.5, 0.5, 2.0, 1.0, 1.5, 4.0]
+    locs[:, 1] = [4, 12, 0.1, 0.1, 1.0, 2.0, 1.0, 3.0]
+    counts = np.full(b, 2, np.int32)
+    return jnp.array(samples), jnp.array(locs), jnp.array(counts)
+
+
+def test_center_net_size_family():
+    samples, locs, counts = _raw_batch()
+    xs, ys = augment_and_render_batch(jax.random.PRNGKey(0), samples, locs,
+                                      counts, 16, augment=False)
+    model = CenterNetSizeResidual(num_layers=10, dims=TINY)
+    variables = model.init(jax.random.PRNGKey(0), xs, train=False)
+    outs = model.apply(variables, xs, train=False)
+    assert outs["size"].shape == (2, 16, 16, 2)
+    loss, stats = CenterNetSizeLoss()([outs], ys)
+    assert np.isfinite(float(loss)) and len(stats) == 2
+    decoded = decode_center_net_size(outs, k=8)
+    assert decoded[4].shape == (2, 8, 2)
+    metrics = center_net_size_evaluation(None, ys, *decoded)
+    assert "iou" in metrics and "heat" in metrics
+
+
+def test_legacy_corner_targets_layout():
+    samples, locs, counts = _raw_batch()
+    xs, ys = augment_and_render_batch(
+        jax.random.PRNGKey(0), samples, locs, counts, 16, augment=False,
+        corner_targets="legacy",
+    )
+    tl_heat, br_heat, mask, tl_regr, br_regr, tl_inds, br_inds = ys
+    assert tl_heat.shape == (2, 16, 16, 1)
+    assert tl_regr.shape == (2, 5, 2)
+    # fractional offsets are in [0, 1)
+    m = np.asarray(mask)
+    fr = np.asarray(tl_regr)[m]
+    assert np.all(fr >= 0) and np.all(fr < 1)
+    # corner indices decode to pixels left/above the center
+    ti = np.asarray(tl_inds)[0, 0]
+    assert ti % 16 < 8 and ti // 16 < 8
+
+
+def test_corner_net_legacy_small():
+    samples, locs, counts = _raw_batch()
+    xs, ys = augment_and_render_batch(
+        jax.random.PRNGKey(0), samples, locs, counts, 16, augment=False,
+        corner_targets="legacy",
+    )
+    model = CornerNetLegacy(
+        categories=1, stacks=1, iterations=2,
+        dimensions=(8, 12, 16), modules=(1, 1, 1),
+        prediction_dim=16,
+    )
+    variables = model.init(jax.random.PRNGKey(0), xs, train=False)
+    outs = model.apply(variables, xs, train=False)
+    assert isinstance(outs, list) and len(outs) == 1
+    assert outs[0]["tl_heat"].shape == (2, 16, 16, 1)
+    assert outs[0]["tl_tag"].shape == (2, 16, 16, 1)
+    assert outs[0]["tl_regr"].shape == (2, 16, 16, 2)
+
+    loss, stats = CornerNetLegacyLoss()(outs, ys)
+    assert np.isfinite(float(loss)) and len(stats) == 4
+
+    dets = decode_corner_net_legacy(outs[0], k=6, detection_count=20)
+    assert dets.shape == (2, 20, 8)
+    d = np.asarray(dets)
+    kept = d[:, :, 4] > -1
+    if kept.any():
+        # kept pairs satisfy br >= tl
+        assert np.all(d[:, :, 2][kept] >= d[:, :, 0][kept])
+        assert np.all(d[:, :, 3][kept] >= d[:, :, 1][kept])
