@@ -64,14 +64,25 @@ class ArchiveWriter:
         self.close()
 
 
-def read_archive(path: str, keep_names: Optional[List[str]] = None
+def read_archive(path: str, keep_names: Optional[List[str]] = None,
+                 prefer_native: bool = True
                  ) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
     """Load a `.d` archive into packed host arrays.
 
     Returns ``(names, samples (N,H,W) f32, locs (N,MAXTAGLEN,8) f32,
     counts (N,) i32)``. Objects beyond MAXTAGLEN are dropped (the
     reference's fixed-length packing, scdx16p100.py:346-351).
+
+    Uses the native C++ reader (native/scdio.cpp) when available — mmap'd
+    zip, threaded inflate straight into the contiguous output — and falls
+    back to this Python implementation otherwise.
     """
+    if prefer_native and keep_names is None:
+        from scd_resnet_tpu.data import native_io
+
+        result = native_io.read_archive_native(path)
+        if result is not None:
+            return result
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read("dataset.json"))
         names = meta["names"]

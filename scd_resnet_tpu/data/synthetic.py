@@ -27,9 +27,10 @@ def synth_clip(rng: np.random.Generator, size: int = 512,
     n = int(rng.integers(1, max_objects + 1))
     locs = np.zeros((n, 8), np.float32)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    margin = min(40, size // 4)
     for i in range(n):
-        cx = rng.uniform(40, size - 40)
-        cy = rng.uniform(40, size - 40)
+        cx = rng.uniform(margin, size - margin)
+        cy = rng.uniform(margin, size - margin)
         angle = rng.uniform(0, np.pi)
         maj = rng.uniform(10, 24)     # full-res semi-major
         minor = rng.uniform(6, maj)   # full-res semi-minor

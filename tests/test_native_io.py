@@ -1,0 +1,36 @@
+"""Native reader vs Python reader equivalence on a synthetic archive."""
+
+import numpy as np
+import pytest
+
+from scd_resnet_tpu.data.archive import read_archive
+from scd_resnet_tpu.data.native_io import gather_batch, get_library, read_archive_native
+from scd_resnet_tpu.data.synthetic import make_archive
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nat") / "tiny.d")
+    make_archive(path, num_images=2, reps=2, clips_per_image=3, size=64)
+    return path
+
+
+def test_native_library_builds():
+    assert get_library() is not None, "native libscdio.so failed to build"
+
+
+def test_native_matches_python_reader(archive):
+    py = read_archive(archive, prefer_native=False)
+    nat = read_archive_native(archive)
+    assert nat is not None
+    assert py[0] == nat[0]  # names
+    np.testing.assert_allclose(py[1], nat[1], atol=0)  # samples bit-equal
+    np.testing.assert_allclose(py[2], nat[2], atol=0)  # locs
+    np.testing.assert_array_equal(py[3], nat[3])  # counts
+
+
+def test_gather_batch_matches_numpy(archive):
+    _, samples, _, _ = read_archive(archive, prefer_native=False)
+    idx = np.array([3, 0, 7, 2], np.int64)
+    got = gather_batch(samples, idx)
+    np.testing.assert_array_equal(got, samples[idx])
