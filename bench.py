@@ -19,6 +19,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import math
 import os
@@ -58,7 +59,7 @@ def bench_jax(batch: int, size: int, steps: int, warmup: int) -> float:
         CenterNetResidual,
     )
 
-    model = CenterNetResidual(num_layers=10)
+    model = CenterNetResidual(num_layers=10, compute_dtype="bfloat16")
     loss_fn = CenterNetLoss(0.1, 0.1)
     tx = optax.adam(1.25e-4)
     heat_size = size // 4
@@ -70,7 +71,7 @@ def bench_jax(batch: int, size: int, steps: int, warmup: int) -> float:
     batch_stats = variables["batch_stats"]
     opt_state = tx.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, samples, locs, counts, key):
         xs, ys = augment_and_render_batch(key, samples, locs, counts, heat_size)
 

@@ -56,6 +56,9 @@ _DEFAULTS: Dict[str, Any] = {
     "dirDatafile": "{dirDataset}{datasetName}.d",
     "dirDataSplitProfile": "{dirDataset}{datasetName}.split.json",
     "useGPU": False,
+    # extension over the reference schema: conv-path compute precision,
+    # "float32" (default) or "bfloat16" (MXU-native; params/BN stay f32)
+    "precision": "float32",
 }
 
 

@@ -64,11 +64,15 @@ class CenterNetResidual(nn.Module):
     num_layers: int = 10
     dims: Sequence[int] = DEFAULT_DIMENSIONS
     terminal_hidden: int = 128
+    # 'bfloat16' runs the conv path at the MXU's native precision;
+    # parameters, BN statistics, and the loss stay float32
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         return ResNetBackbone(
-            self.num_layers, _terminals(self.terminal_hidden), tuple(self.dims)
+            self.num_layers, _terminals(self.terminal_hidden),
+            tuple(self.dims), dtype=jnp.dtype(self.compute_dtype),
         )(x, train)
 
 

@@ -15,7 +15,7 @@ analog here — it is the default behavior.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -40,13 +40,16 @@ class ConvBlock(nn.Module):
     """k x k same-size Conv -> BN -> ReLU (convolutions.py:25-49).
 
     ``batch_norm=False`` drops the BN and enables the conv bias, matching
-    the reference's ``bias = not batchNorm``.
+    the reference's ``bias = not batchNorm``. ``dtype`` selects the compute
+    precision of the convolution (bfloat16 feeds the MXU at full rate);
+    parameters and BN statistics stay float32.
     """
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     batch_norm: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,6 +59,7 @@ class ConvBlock(nn.Module):
             strides=(self.stride, self.stride),
             padding=(self.kernel_size - 1) // 2,
             use_bias=not self.batch_norm,
+            dtype=self.dtype,
         )(x)
         if self.batch_norm:
             x = BatchNorm()(x, train)
@@ -78,15 +82,16 @@ class FullyConnected(nn.Module):
         return nn.relu(x)
 
 
-def conv3x3(features: int, stride: int = 1) -> nn.Conv:
+def conv3x3(features: int, stride: int = 1, dtype=jnp.float32) -> nn.Conv:
     """3x3 conv, pad 1, no bias (models/backbones/utility.py:125-127)."""
     return nn.Conv(features, (3, 3), strides=(stride, stride), padding=1,
-                   use_bias=False)
+                   use_bias=False, dtype=dtype)
 
 
-def conv1x1(features: int, stride: int = 1, use_bias: bool = False) -> nn.Conv:
+def conv1x1(features: int, stride: int = 1, use_bias: bool = False,
+            dtype=jnp.float32) -> nn.Conv:
     return nn.Conv(features, (1, 1), strides=(stride, stride), padding=0,
-                   use_bias=use_bias)
+                   use_bias=use_bias, dtype=dtype)
 
 
 def max_pool_3x3_s2(x):

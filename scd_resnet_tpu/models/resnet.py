@@ -35,17 +35,18 @@ class Residual(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_features = x.shape[-1]
-        y = conv3x3(self.features, self.stride)(x)
+        y = conv3x3(self.features, self.stride, dtype=self.dtype)(x)
         y = BatchNorm()(y, train)
         y = nn.relu(y)
-        y = conv3x3(self.features)(y)
+        y = conv3x3(self.features, dtype=self.dtype)(y)
         y = BatchNorm()(y, train)
         if self.stride != 1 or in_features != self.features:
-            skip = conv1x1(self.features, self.stride)(x)
+            skip = conv1x1(self.features, self.stride, dtype=self.dtype)(x)
             skip = BatchNorm()(skip, train)
         else:
             skip = x
@@ -59,17 +60,19 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = conv3x3(self.features, self.stride)(x)
+        y = conv3x3(self.features, self.stride, dtype=self.dtype)(x)
         y = BatchNorm()(y, train)
         y = nn.relu(y)
-        y = conv3x3(self.features)(y)
+        y = conv3x3(self.features, dtype=self.dtype)(y)
         y = BatchNorm()(y, train)
         if self.downsample:
-            residual = conv1x1(self.features * self.expansion, self.stride)(x)
+            residual = conv1x1(self.features * self.expansion, self.stride,
+                               dtype=self.dtype)(x)
             residual = BatchNorm()(residual, train)
         return nn.relu(y + residual)
 
@@ -81,20 +84,22 @@ class Bottleneck(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = conv1x1(self.features)(x)
+        y = conv1x1(self.features, dtype=self.dtype)(x)
         y = BatchNorm()(y, train)
         y = nn.relu(y)
-        y = conv3x3(self.features, self.stride)(y)
+        y = conv3x3(self.features, self.stride, dtype=self.dtype)(y)
         y = BatchNorm()(y, train)
         y = nn.relu(y)
-        y = conv1x1(self.features * self.expansion)(y)
+        y = conv1x1(self.features * self.expansion, dtype=self.dtype)(y)
         y = BatchNorm()(y, train)
         if self.downsample:
-            residual = conv1x1(self.features * self.expansion, self.stride)(x)
+            residual = conv1x1(self.features * self.expansion, self.stride,
+                               dtype=self.dtype)(x)
             residual = BatchNorm()(residual, train)
         return nn.relu(y + residual)
 
@@ -132,6 +137,7 @@ class TerminalSpec:
 
 class TerminalHead(nn.Module):
     spec: TerminalSpec
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -147,7 +153,8 @@ class TerminalHead(nn.Module):
             else nn.initializers.zeros_init()
         )
         if spec.hidden > 0:
-            x = nn.Conv(spec.hidden, (3, 3), padding=1, use_bias=True)(x)
+            x = nn.Conv(spec.hidden, (3, 3), padding=1, use_bias=True,
+                        dtype=self.dtype)(x)
             x = nn.relu(x)
         return nn.Conv(
             spec.out_features,
@@ -156,7 +163,7 @@ class TerminalHead(nn.Module):
             use_bias=True,
             kernel_init=kernel_init,
             bias_init=bias_init,
-        )(x)
+        )(x.astype(jnp.float32))
 
 
 class ResNetBackbone(nn.Module):
@@ -170,6 +177,7 @@ class ResNetBackbone(nn.Module):
     num_layers: int
     terminals: Sequence[TerminalSpec]
     dimensions: Sequence[int] = DEFAULT_DIMENSIONS
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -177,7 +185,8 @@ class ResNetBackbone(nn.Module):
         dims = tuple(self.dimensions)
 
         # stem: 7x7/s2 conv + BN + ReLU + 3x3/s2 maxpool (residuals.py:210-215)
-        x = nn.Conv(dims[0], (7, 7), strides=(2, 2), padding=3, use_bias=False)(x)
+        x = nn.Conv(dims[0], (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype)(x)
         x = BatchNorm()(x, train)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
@@ -188,9 +197,10 @@ class ResNetBackbone(nn.Module):
         ):
             stride = 1 if stage_idx == 0 else 2
             needs_down = stride != 1 or x.shape[-1] != features * block.expansion
-            x = block(features, stride, downsample=needs_down)(x, train)
+            x = block(features, stride, downsample=needs_down,
+                      dtype=self.dtype)(x, train)
             for _ in range(1, blocks):
-                x = block(features)(x, train)
+                x = block(features, dtype=self.dtype)(x, train)
 
         # three 2x transposed-conv stages (residuals.py:224-228, 286-310):
         # kernel 4, stride 2, no bias, N(0, 0.001) init, BN + ReLU
@@ -202,11 +212,13 @@ class ResNetBackbone(nn.Module):
                 padding="SAME",
                 use_bias=False,
                 kernel_init=nn.initializers.normal(stddev=0.001),
+                dtype=self.dtype,
             )(x)
             x = BatchNorm()(x, train)
             x = nn.relu(x)
 
+        # heads compute in the same dtype but emit float32 for the losses
         return {
-            spec.name: TerminalHead(spec, name=spec.name)(x)
+            spec.name: TerminalHead(spec, dtype=self.dtype, name=spec.name)(x)
             for spec in self.terminals
         }

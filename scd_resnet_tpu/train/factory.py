@@ -81,7 +81,12 @@ class NetworkFactory:
 
         self.profile = get_model_profile(cfg.modelName)
         Logger.info("Loaded model profile: {}".format(cfg.modelName))
-        self.model = self.profile.build()
+        model_params = dict(self.profile.model_params)
+        precision = cfg.config.get("precision", "float32")
+        if precision != "float32" and hasattr(self.profile.model_cls,
+                                              "compute_dtype"):
+            model_params["compute_dtype"] = precision
+        self.model = self.profile.model_cls(**model_params)
         self.loss = self.profile.loss
         self.decode = self.profile.decode
         self.evaluation = self.profile.evaluation
