@@ -230,3 +230,69 @@ def decode_corner_net_legacy(out_dict: Dict[str, jnp.ndarray], k: int = 100,
         [boxes, top_scores[:, :, None], tl_sel[:, :, None],
          br_sel[:, :, None], cats[:, :, None]], axis=2,
     )
+
+
+def decode_corner_net_legacy_list(out_dict, k: int = 100,
+                                  nms_kernel_size: int = 1):
+    """Factory-contract wrapper: decode returns a list
+    (the detections tensor as its single element)."""
+    return [decode_corner_net_legacy(out_dict, k, nms_kernel_size)]
+
+
+def corner_net_legacy_evaluation(xs, ys, detections,
+                                 score_threshold: float = 0.3):
+    """IoU of embedding-paired boxes vs ground-truth corner boxes.
+
+    Ground-truth boxes recovered from the legacy target layout
+    (tl/br indices + fractional offsets). Returns the (values, mask)
+    contract for the expression aggregator."""
+    from scd_resnet_tpu.evaluations.detection import iou
+
+    mask = ys[2]
+    tl_regr, br_regr = ys[3], ys[4]
+    tl_inds, br_inds = ys[5], ys[6]
+    heat_size = ys[0].shape[2]
+
+    def to_xy(inds, frac):
+        x = (inds % heat_size).astype(jnp.float32) + frac[:, :, 0]
+        y = (inds // heat_size).astype(jnp.float32) + frac[:, :, 1]
+        return x, y
+
+    tlx, tly = to_xy(tl_inds, tl_regr)
+    brx, bry = to_xy(br_inds, br_regr)
+    gt_boxes = jnp.stack([tlx, tly, brx, bry], axis=-1)
+    gt_boxes = jnp.where(mask[:, :, None], gt_boxes, 0.0)
+
+    det_boxes = detections[:, :, 0:4]
+    scores = detections[:, :, 4]
+    valid = scores >= score_threshold
+    obj_num = jnp.asarray(mask, jnp.float32).sum(axis=1)
+    vals, pair_mask = iou(det_boxes, gt_boxes, valid)
+    sel_scores = jnp.broadcast_to(scores[:, :, None], vals.shape)
+    return {"iouscore": (vals, sel_scores, pair_mask), "objs": obj_num}
+
+
+def expression_corner_net_legacy(batches) -> str:
+    import numpy as np
+
+    from scd_resnet_tpu.evaluations.detection import (
+        average_precision_all,
+        average_precision_plots,
+    )
+
+    ious, scores = [], []
+    obj_num = 0.0
+    for batch in batches:
+        obj_num += float(np.asarray(batch["objs"]).sum())
+        vals, svals, mask = batch["iouscore"]
+        m = np.asarray(mask)
+        ious.append(np.asarray(vals)[m])
+        scores.append(np.asarray(svals)[m])
+    ious = np.concatenate(ious) if ious else np.zeros(0)
+    scores = np.concatenate(scores) if scores else np.zeros(0)
+    miou = float(ious.mean()) if ious.size else 0.0
+    denom = max(obj_num, float(len(ious)))
+    ap50 = average_precision_all(
+        average_precision_plots(ious, scores, denom, 0.5))
+    return "[mIoU] {}    [AP50] {}".format(
+        format(miou * 100, "-10.8f"), format(ap50 * 100, "-5.2f"))

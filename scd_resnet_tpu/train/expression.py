@@ -114,6 +114,37 @@ def expression_corner_net(batches: List[Dict]) -> str:
     )
 
 
+def expression_center_net_size(batches: List[Dict]) -> str:
+    """Legacy size-regression CenterNet report: mIoU of regressed boxes and
+    peak AP at 0.3/0.5/0.75 (the metric names the reference's centerNet
+    evaluation declared, centerNet.py:249-254)."""
+    ious = []
+    gts, scores = [], []
+    obj_num = 0.0
+    for batch in batches:
+        obj_num += float(np.asarray(batch["objs"]).sum())
+        vals, mask = batch["iou"]
+        ious.append(_masked(vals, mask))
+        gt, sc, mask = batch["heat"]
+        gts.append(_masked(gt, mask))
+        scores.append(_masked(sc, mask))
+    ious = np.concatenate(ious) if ious else np.zeros(0)
+    gts = np.concatenate(gts) if gts else np.zeros(0)
+    scores = np.concatenate(scores) if scores else np.zeros(0)
+    denom = max(obj_num, float(len(gts)))
+    aps = {
+        t: average_precision_all(
+            average_precision_plots(gts, scores, denom, t / 100.0))
+        for t in (30, 50, 75)
+    }
+    return "[mIoU] {}    [AP30] {}    [AP50] {}    [AP75] {}".format(
+        format(_mean(ious) * 100, "-10.8f"),
+        format(aps[30] * 100, "-5.2f"),
+        format(aps[50] * 100, "-5.2f"),
+        format(aps[75] * 100, "-5.2f"),
+    )
+
+
 def expression_center_net(batches: List[Dict]) -> str:
     """The exact report line format (centerOffsetRes10.py:88-106)."""
     e = aggregate_center_net(batches)

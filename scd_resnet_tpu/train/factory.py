@@ -38,6 +38,7 @@ import optax
 from scd_resnet_tpu.core.checkpoint import load_checkpoint, load_params_only, save_checkpoint
 from scd_resnet_tpu.core.config import Configuration, default_config
 from scd_resnet_tpu.core.logging import Logger, StepTelemetry
+from scd_resnet_tpu.core.profiling import StepProfiler
 from scd_resnet_tpu.data.dataset import SCDDataset
 from scd_resnet_tpu.data.pipeline import augment_and_render_batch
 from scd_resnet_tpu.models.center_net_offset import as_stack_list
@@ -114,7 +115,20 @@ class NetworkFactory:
         self.heat_size = dataset.heat_size
         self.sample_size = dataset.samples.shape[1]
 
-        self.mesh = mesh if mesh is not None else create_mesh()
+        if mesh is None:
+            # the data axis must divide the global batch; use the largest
+            # device-count divisor (single chip always works)
+            devices = jax.devices()
+            usable = __import__("math").gcd(cfg.batchSize, len(devices))
+            if usable != len(devices):
+                Logger.warn(
+                    ":: factory :: batchSize {} not divisible by {} devices; "
+                    "using {} device(s)".format(
+                        cfg.batchSize, len(devices), usable
+                    )
+                )
+            mesh = create_mesh(devices[:usable])
+        self.mesh = mesh
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
 
@@ -296,6 +310,7 @@ class NetworkFactory:
             "Parameter Count: {}\n".format(self.parameter_count),
         ]
         telemetry = StepTelemetry(telemetry_path)
+        profiler = StepProfiler()
         t_start = time.perf_counter()
 
         finished = False
@@ -304,6 +319,7 @@ class NetworkFactory:
                 cfg.update_iteration(it)
                 it += 1
 
+                profiler.step(it)
                 loss, stats = self.train(samples, locs, counts)
 
                 if it % cfg.validationFrequency == 0:
@@ -349,6 +365,7 @@ class NetworkFactory:
                 raise RuntimeError("dataset smaller than one batch")
 
         telemetry.close()
+        profiler.close()
         with open(
             os.path.join(cfg.dirResult, "evals.{}.txt".format(cfg.trainName)), "w"
         ) as f:

@@ -28,10 +28,13 @@ import dataclasses
 import functools
 from typing import Any, Callable, Dict, Optional
 
+from scd_resnet_tpu.models import center_net as cns
 from scd_resnet_tpu.models import center_net_offset as cno
 from scd_resnet_tpu.models import corner_net as corner
+from scd_resnet_tpu.models import corner_net_legacy as legacy
 from scd_resnet_tpu.train.expression import (
     expression_center_net,
+    expression_center_net_size,
     expression_corner_net,
 )
 
@@ -159,6 +162,35 @@ for _depth in (10, 18):
             num_layers=_depth)
     _corner(f"cornerCombinedRes{_depth}", corner.CornerNetCombined,
             combined=True, num_layers=_depth)
+
+# legacy size-regression CenterNet (models/centerNet.py, unimportable in
+# the reference) — size targets derived from the SCD loc records
+register_model(
+    ModelProfile(
+        name="centerRes10",
+        model_cls=cns.CenterNetSizeResidual,
+        model_params={"num_layers": 10},
+        loss=cns.CenterNetSizeLoss(1.0),
+        decode=cns.decode_center_net_size,
+        evaluation=cns.center_net_size_evaluation,
+        expression=expression_center_net_size,
+    )
+)
+
+# full original CornerNet with associative embeddings (cornerNetLegacy.py;
+# its loss broke the factory contract in the reference, SURVEY.md #4)
+register_model(
+    ModelProfile(
+        name="cornerLegacyHourglass",
+        model_cls=legacy.CornerNetLegacy,
+        model_params={"categories": 1, "stacks": 2},
+        loss=legacy.CornerNetLegacyLoss(),
+        decode=legacy.decode_corner_net_legacy_list,
+        evaluation=legacy.corner_net_legacy_evaluation,
+        expression=legacy.expression_corner_net_legacy,
+        corner_targets="legacy",
+    )
+)
 
 for _a in (1, 4, 8, 12, 16):
     for _p in (5, 10, 25, 50, 100):

@@ -1,0 +1,73 @@
+"""Factory training with the legacy size-regression profile and the
+legacy-corner evaluation/expression path."""
+
+import jax
+import numpy as np
+
+from scd_resnet_tpu.core.config import Configuration
+from scd_resnet_tpu.data.dataset import SCDDataset
+from scd_resnet_tpu.data.pipeline import augment_and_render_batch
+from scd_resnet_tpu.data.synthetic import make_archive
+from scd_resnet_tpu.models.corner_net_legacy import (
+    corner_net_legacy_evaluation,
+    expression_corner_net_legacy,
+)
+from scd_resnet_tpu.train.factory import NetworkFactory
+
+
+def test_center_size_profile_trains(tmp_path):
+    archive = str(tmp_path / "scdx16p100.d")
+    make_archive(archive, num_images=1, reps=2, clips_per_image=8, size=128)
+    cfg = Configuration()
+    cfg.update_config(
+        {
+            "datasetName": "scdx16p100",
+            "modelName": "centerRes10",
+            "trainName": "size-smoke",
+            "batchSize": 4,
+            "validationBatchSize": 4,
+            "iterations": 2,
+            "validation": 2,
+            "snapshot": 2,
+            "dirTemp": str(tmp_path / "temp") + "/",
+            "dirResult": str(tmp_path / "results") + "/",
+            "dirDataset": str(tmp_path) + "/",
+        }
+    )
+    dataset = SCDDataset(archive, None, argument_ratio=16, partition=1.0,
+                         train_subset="train16p100", test_set=4)
+    factory = NetworkFactory(cfg, dataset=dataset)
+    factory.begin_training()
+    evals = open(str(tmp_path / "results" / "evals.size-smoke.txt")).read()
+    assert "[mIoU]" in evals and "[AP75]" in evals
+
+
+def test_legacy_corner_eval_expression():
+    rng = np.random.default_rng(0)
+    b, size, k = 2, 64, 5
+    samples = rng.normal(180, 20, (b, size, size)).astype(np.float32)
+    locs = np.zeros((b, k, 8), np.float32)
+    locs[:, 0] = [8, 8, 0.5, 0.5, 2.0, 1.0, 1.5, 4.0]
+    counts = np.full(b, 1, np.int32)
+    xs, ys = augment_and_render_batch(
+        jax.random.PRNGKey(0), samples, locs, counts, 16, augment=False,
+        corner_targets="legacy",
+    )
+    # fabricate detections exactly at the ground-truth boxes
+    heat = 16
+    tlx = (np.asarray(ys[5]) % heat) + np.asarray(ys[3])[:, :, 0]
+    tly = (np.asarray(ys[5]) // heat) + np.asarray(ys[3])[:, :, 1]
+    brx = (np.asarray(ys[6]) % heat) + np.asarray(ys[4])[:, :, 0]
+    bry = (np.asarray(ys[6]) // heat) + np.asarray(ys[4])[:, :, 1]
+    dets = np.zeros((b, 10, 8), np.float32)
+    dets[:, :, 4] = -1
+    dets[:, 0, 0], dets[:, 0, 1] = tlx[:, 0], tly[:, 0]
+    dets[:, 0, 2], dets[:, 0, 3] = brx[:, 0], bry[:, 0]
+    dets[:, 0, 4] = 0.9
+
+    metrics = corner_net_legacy_evaluation(None, ys, dets)
+    line = expression_corner_net_legacy([jax.device_get(metrics)])
+    assert "[mIoU]" in line
+    # perfect-match detection: mIoU ~ 100
+    miou = float(line.split()[1])
+    assert miou > 99.0, line
