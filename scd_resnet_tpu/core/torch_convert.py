@@ -1,0 +1,138 @@
+"""Torch `.pth` checkpoint converter for reference-trained CenterNet models.
+
+The reference ships (referenced, at least) a TorchScript/`.pth` checkpoint
+family (`pretrained/model70.pt`, README.md:100) whose state_dict follows the
+module naming of models/backbones/residuals.py + models/centerNetOffset.py:
+
+    [module.]preprocess.{0,1}.*                 stem conv + BN
+    [module.]layer{1..4}.{i}.conv1/bn1/conv2/bn2[/downsample.{0,1}].*
+    [module.]deconvolutionLayers.{3j,3j+1}.*    deconv + BN triplets
+    [module.]heatmap.{0,2}.* / regr.{0,2}.* / offset.{0,2}.*   heads
+
+This module maps that layout onto the flax parameter tree of
+``CenterNetResidual`` so reference-trained weights run in this framework
+(the F1-parity workflow). Layout transforms:
+
+- conv weights OIHW -> HWIO;
+- transposed-conv weights (in, out, kh, kw) -> spatially flipped
+  (kh, kw, in, out) — verified numerically against torch;
+- BN weight/bias -> scale/bias params; running_mean/var -> batch stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from scd_resnet_tpu.models.resnet import RESNET_SPEC
+
+
+def _conv(w) -> np.ndarray:
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def _deconv(w) -> np.ndarray:
+    # (in, out, kh, kw) -> flipped (kh, kw, in, out); see module docstring
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def _vec(w) -> np.ndarray:
+    return np.asarray(w)
+
+
+def convert_center_net_residual(state_dict: Dict[str, Any], num_layers: int = 10
+                                ) -> Tuple[Dict, Dict]:
+    """Convert a reference CenterNetResidual state_dict.
+
+    Args:
+      state_dict: torch state_dict (tensors or numpy arrays); a leading
+        ``module.`` prefix (DataParallel/DDP wrapping, networkFactory.py:134)
+        is stripped.
+      num_layers: ResNet depth (BasicBlock depths only: 10-34).
+
+    Returns:
+      (params, batch_stats) nested dicts loadable into
+      ``CenterNetResidual(num_layers=...)`` variables.
+    """
+    sd = {}
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if hasattr(value, "detach"):
+            value = value.detach().cpu().numpy()
+        sd[key] = np.asarray(value)
+
+    block, stages = RESNET_SPEC[num_layers]
+    if block.expansion != 1:
+        raise NotImplementedError(
+            "converter currently supports BasicBlock depths (10-34)"
+        )
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, value):
+        node = tree
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = value
+
+    root = "ResNetBackbone_0"
+
+    def bn(torch_prefix, flax_path):
+        put(params, (root, *flax_path, "BatchNorm_0", "scale"),
+            _vec(sd[torch_prefix + ".weight"]))
+        put(params, (root, *flax_path, "BatchNorm_0", "bias"),
+            _vec(sd[torch_prefix + ".bias"]))
+        put(stats, (root, *flax_path, "BatchNorm_0", "mean"),
+            _vec(sd[torch_prefix + ".running_mean"]))
+        put(stats, (root, *flax_path, "BatchNorm_0", "var"),
+            _vec(sd[torch_prefix + ".running_var"]))
+
+    # stem
+    put(params, (root, "Conv_0", "kernel"), _conv(sd["preprocess.0.weight"]))
+    bn("preprocess.1", ("BatchNorm_0",))
+
+    # stages
+    blk = 0
+    for stage_idx, repeats in enumerate(stages):
+        for i in range(repeats):
+            t = f"layer{stage_idx + 1}.{i}"
+            f = f"BasicBlock_{blk}"
+            put(params, (root, f, "Conv_0", "kernel"),
+                _conv(sd[t + ".conv1.weight"]))
+            bn(t + ".bn1", (f, "BatchNorm_0"))
+            put(params, (root, f, "Conv_1", "kernel"),
+                _conv(sd[t + ".conv2.weight"]))
+            bn(t + ".bn2", (f, "BatchNorm_1"))
+            if t + ".downsample.0.weight" in sd:
+                put(params, (root, f, "Conv_2", "kernel"),
+                    _conv(sd[t + ".downsample.0.weight"]))
+                bn(t + ".downsample.1", (f, "BatchNorm_2"))
+            blk += 1
+
+    # deconvs: Sequential indices 0,1,2 / 3,4,5 / 6,7,8 = deconv, BN, ReLU
+    for j in range(3):
+        put(params, (root, f"ConvTranspose_{j}", "kernel"),
+            _deconv(sd[f"deconvolutionLayers.{3 * j}.weight"]))
+        bn(f"deconvolutionLayers.{3 * j + 1}", (f"BatchNorm_{j + 1}",))
+
+    # heads: Sequential(Conv3x3, ReLU, Conv1x1) -> indices 0 and 2
+    for head in ("heatmap", "regr", "offset"):
+        put(params, (root, head, "Conv_0", "kernel"),
+            _conv(sd[head + ".0.weight"]))
+        put(params, (root, head, "Conv_0", "bias"), _vec(sd[head + ".0.bias"]))
+        put(params, (root, head, "Conv_1", "kernel"),
+            _conv(sd[head + ".2.weight"]))
+        put(params, (root, head, "Conv_1", "bias"), _vec(sd[head + ".2.bias"]))
+
+    return params, stats
+
+
+def convert_pth_file(path: str, num_layers: int = 10) -> Tuple[Dict, Dict]:
+    """Load a torch .pth and convert (requires torch importable)."""
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu")
+    return convert_center_net_residual(state_dict, num_layers)

@@ -195,3 +195,45 @@ class SCDDataset:
         for start in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
             yield self.samples[idx], self.locs[idx], self.counts[idx]
+
+    # ---- device-resident mode ---------------------------------------------
+
+    def device_shards(self, num_shards: int):
+        """Partition the archive rows across ``num_shards`` devices for
+        HBM residency.
+
+        Returns ``(shard_rows, local_train)`` where ``shard_rows[d]`` is the
+        global row ids resident on device d (equal-length, tail rows
+        dropped) and ``local_train[d]`` the LOCAL indices within that shard
+        that belong to the training order. Each device then samples its own
+        shard — the DistributedSampler per-rank-subset semantics with zero
+        per-step host->device payload beyond the index vector.
+        """
+        n = len(self.names)
+        per = n // num_shards
+        train_set = set(self.order)
+        shard_rows = []
+        local_train = []
+        for d in range(num_shards):
+            rows = np.arange(d * per, (d + 1) * per)
+            shard_rows.append(rows)
+            local_train.append(
+                np.asarray([i for i, r in enumerate(rows) if r in train_set])
+            )
+        return shard_rows, local_train
+
+    def epoch_local_indices(self, batch_size: int, num_shards: int,
+                            local_train) -> Iterator[np.ndarray]:
+        """One epoch of per-device LOCAL index batches, (num_shards *
+        batch_size/num_shards,) concatenated device-major, drop_last."""
+        per_dev = batch_size // num_shards
+        orders = []
+        for d in range(num_shards):
+            arr = local_train[d].copy()
+            self._rng.shuffle(arr)
+            orders.append(arr)
+        steps = min(len(o) for o in orders) // per_dev
+        for s in range(steps):
+            yield np.concatenate(
+                [o[s * per_dev : (s + 1) * per_dev] for o in orders]
+            ).astype(np.int32)

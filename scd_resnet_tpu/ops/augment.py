@@ -51,6 +51,15 @@ def variance_jitter(key, image, stdvar: float = 0.05):
     return image * (1.0 + stdvar * g)
 
 
+def _nearest_sample(image, ys, xs):
+    """Nearest-neighbor sample (the reference's hand-rolled
+    rotateNearestNeighbour gather, argumentations.py:111-146)."""
+    h, w = image.shape
+    yi = jnp.clip(jnp.round(ys), 0, h - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.round(xs), 0, w - 1).astype(jnp.int32)
+    return image[yi, xi]
+
+
 def _bilinear_sample(image, ys, xs):
     """Bilinear sample of an (H, W) image at float coordinate grids."""
     h, w = image.shape
@@ -71,7 +80,7 @@ def _bilinear_sample(image, ys, xs):
 
 
 def rotate(image, angle_deg: float, pad_mode: str = "reflect",
-           pad_value: float = 0.0):
+           pad_value: float = 0.0, resample: str = "bilinear"):
     """Rotate an (H, W) image about its center, mirror-padded bilinear.
 
     Matches argumentations.py:149-159: pad to the diagonal radius (so no
@@ -106,7 +115,8 @@ def rotate(image, angle_deg: float, pad_mode: str = "reflect",
     src_y = sin_t * xs + cos_t * ys + cy + pt
     src_x = jnp.broadcast_to(src_x, (h, w))
     src_y = jnp.broadcast_to(src_y, (h, w))
-    return _bilinear_sample(padded, src_y, src_x)
+    sampler = _nearest_sample if resample == "nearest" else _bilinear_sample
+    return sampler(padded, src_y, src_x)
 
 
 def rotate_coordinates(locs, center_x, center_y, angle_deg):

@@ -63,13 +63,24 @@ def _scatter_add_along_axis(template, idx, updates, axis: int):
     return jnp.moveaxis(out.reshape(*lead, n), -1, axis)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _directional_pool(x, axis: int, reverse: bool):
+def _forward_impl(x, axis: int, reverse: bool):
+    """Forward dispatch: the hand-scheduled Pallas running-max kernel on
+    TPU (measured ~1.4x faster than the cummax lowering at production
+    shapes), lax.cummax elsewhere."""
+    if jax.default_backend() == "tpu" and x.ndim == 4:
+        from scd_resnet_tpu.ops.pallas_kernels import corner_pool_pallas
+
+        return corner_pool_pallas(x, axis, reverse)
     return lax.cummax(x, axis=axis, reverse=reverse)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _directional_pool(x, axis: int, reverse: bool):
+    return _forward_impl(x, axis, reverse)
+
+
 def _pool_fwd(x, axis, reverse):
-    return lax.cummax(x, axis=axis, reverse=reverse), x
+    return _forward_impl(x, axis, reverse), x
 
 
 def _pool_bwd(axis, reverse, x, g):

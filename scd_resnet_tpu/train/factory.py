@@ -159,6 +159,7 @@ class NetworkFactory:
         self._validate_step = self._build_validate_step()
         self._augment = self._build_augment()
         self._rng = jax.random.PRNGKey(seed + 1)
+        self._setup_residency()
 
     # ---- jitted steps ----------------------------------------------------
 
@@ -235,6 +236,150 @@ class NetworkFactory:
 
         return jax.jit(fn)
 
+    # ---- device-resident dataset -------------------------------------------
+
+    def _setup_residency(self) -> None:
+        """Keep the whole training archive in device memory when it fits.
+
+        The per-step host->device payload collapses from the raw clip batch
+        (tens of MB) to a handful of index bytes: each device holds an equal
+        shard of the archive rows and gathers its sub-batch locally
+        (DistributedSampler per-rank-subset semantics, zero cross-device
+        traffic). Controlled by the 'residency' config key
+        ("auto" | "device" | "host") and 'storageDtype'
+        ("float32" | "float16" | "uint8").
+        """
+        cfg = self.config
+        self.resident = False
+        mode = cfg.config.get("residency", "auto")
+        if mode == "host" or jax.process_count() > 1:
+            return
+        storage = cfg.config.get("storageDtype", "float16")
+        n_dev = self.mesh.devices.size
+        itemsize = {"float32": 4, "float16": 2, "uint8": 1}[storage]
+        total_bytes = self.dataset.samples.size * itemsize
+        budget = 4 * 1024**3 * n_dev  # leave HBM room for activations
+        if mode == "auto" and total_bytes > budget:
+            Logger.warn(
+                ":: factory :: dataset ({:.1f} GB as {}) exceeds the "
+                "residency budget; streaming batches from host".format(
+                    total_bytes / 1024**3, storage
+                )
+            )
+            return
+        if cfg.batchSize % n_dev != 0:
+            return
+
+        rows, local_train = self.dataset.device_shards(n_dev)
+        if min(len(t) for t in local_train) < cfg.batchSize // n_dev:
+            Logger.warn(":: factory :: too few training rows per device "
+                        "shard; streaming from host")
+            return
+        order = np.concatenate(rows)
+        samples = self.dataset.samples[order]
+        if storage == "uint8":
+            samples = np.clip(np.rint(samples), 0, 255).astype(np.uint8)
+        elif storage == "float16":
+            samples = samples.astype(np.float16)
+        Logger.log(
+            "Uploading device-resident dataset: {} clips, {:.2f} GB as {} "
+            "over {} device(s)".format(
+                len(order), total_bytes / 1024**3, storage, n_dev
+            )
+        )
+        self._ds_samples = jax.device_put(samples, self._batch_shard)
+        self._ds_locs = jax.device_put(
+            self.dataset.locs[order], self._batch_shard)
+        self._ds_counts = jax.device_put(
+            self.dataset.counts[order], self._batch_shard)
+        self._local_train = local_train
+        self._n_dev = n_dev
+        self._train_step_resident = self._build_train_step_resident()
+        self._gather_resident = self._build_gather_resident()
+        self.resident = True
+
+    def _resident_gather_fn(self):
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map as _shard_map
+
+            def smap(fn):
+                return _shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P("data"),) * 4, out_specs=(P("data"),) * 3,
+                )
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+            def smap(fn):
+                return _shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P("data"),) * 4, out_specs=(P("data"),) * 3,
+                )
+
+        def gather(samples_all, locs_all, counts_all, idx):
+            def local(s, l, c, i):
+                return (
+                    s[i].astype(jnp.float32),
+                    l[i],
+                    c[i],
+                )
+
+            return smap(local)(samples_all, locs_all, counts_all, idx)
+
+        return gather
+
+    def _build_train_step_resident(self):
+        model, loss_fn, tx = self.model, self.loss, self.tx
+        heat_size = self.heat_size
+        corner_targets = self.profile.corner_targets
+        gather = self._resident_gather_fn()
+
+        def step(params, batch_stats, opt_state, samples_all, locs_all,
+                 counts_all, idx, key):
+            samples, locs, counts = gather(samples_all, locs_all, counts_all,
+                                           idx)
+            xs, ys = augment_and_render_batch(
+                key, samples, locs, counts, heat_size,
+                corner_targets=corner_targets,
+            )
+
+            def objective(p):
+                outs, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    xs, train=True, mutable=["batch_stats"],
+                )
+                loss, stats = loss_fn(as_stack_list(outs), ys)
+                return loss, (stats, mutated["batch_stats"])
+
+            (loss, (stats, new_bs)), grads = jax.value_and_grad(
+                objective, has_aux=True
+            )(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt, loss, stats
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _build_gather_resident(self):
+        gather = self._resident_gather_fn()
+        return jax.jit(gather)
+
+    def train_resident(self, idx: np.ndarray) -> Tuple[Any, List[Any]]:
+        self._rng, key = jax.random.split(self._rng)
+        idx = jax.device_put(idx, self._batch_shard)
+        (self.params, self.batch_stats, self.opt_state, loss, stats) = (
+            self._train_step_resident(
+                self.params, self.batch_stats, self.opt_state,
+                self._ds_samples, self._ds_locs, self._ds_counts, idx, key,
+            )
+        )
+        self._last_key = key
+        self._last_batch_idx = idx
+        self._last_batch = None
+        return loss, stats
+
     # ---- checkpoint paths --------------------------------------------------
 
     def _checkpoint_path(self) -> str:
@@ -291,7 +436,13 @@ class NetworkFactory:
         """[Tr] line: rebuild the last augmented batch (same key) and run the
         metric battery on it — matching the reference validating on the
         just-trained batch (networkFactory.py:183-188)."""
-        samples, locs, counts = self._last_batch
+        if self._last_batch is None:
+            samples, locs, counts = self._gather_resident(
+                self._ds_samples, self._ds_locs, self._ds_counts,
+                self._last_batch_idx,
+            )
+        else:
+            samples, locs, counts = self._last_batch
         xs, ys = self._augment(self._last_key, samples, locs, counts)
         return self._validate_step(self.params, self.batch_stats, xs, ys)
 
@@ -301,6 +452,13 @@ class NetworkFactory:
         cfg = self.config
         if cfg.currentIteration > 0:
             self.load_parameters()
+        elif cfg.pretrain is not None:
+            # warm start from a pretrained checkpoint (networkFactory.py:138-144)
+            if not os.path.exists(cfg.pretrain):
+                raise FileNotFoundError(
+                    "pretrained model does not exist: {}".format(cfg.pretrain)
+                )
+            self.load_pretrained(cfg.pretrain)
 
         it = cfg.currentIteration
         total = cfg.totalIterations
@@ -313,17 +471,36 @@ class NetworkFactory:
         profiler = StepProfiler()
         t_start = time.perf_counter()
 
+        # per-host shard of the epoch order (multi-host DP; single host
+        # passes (1, 0) and sees the full order)
+        shard_count = jax.process_count()
+        shard_index = jax.process_index()
+
+        def epoch_iterator():
+            if self.resident:
+                for idx in self.dataset.epoch_local_indices(
+                    cfg.batchSize, self._n_dev, self._local_train
+                ):
+                    yield ("resident", idx)
+            else:
+                for batch in self.dataset.epoch_batches(
+                    cfg.batchSize, shard_count, shard_index
+                ):
+                    yield ("host", batch)
+
         finished = False
         while not finished:
-            for samples, locs, counts in self.dataset.epoch_batches(cfg.batchSize):
+            for kind, payload in epoch_iterator():
                 cfg.update_iteration(it)
                 it += 1
 
                 profiler.step(it)
-                loss, stats = self.train(samples, locs, counts)
+                if kind == "resident":
+                    loss, stats = self.train_resident(payload)
+                else:
+                    loss, stats = self.train(*payload)
 
                 if it % cfg.validationFrequency == 0:
-                    loss_f = float(loss)
                     tr_line = "[Tr] {}:     ".format(format(it, "7d")) + \
                         self.expression([jax.device_get(self.validate_train_batch())])
                     batches = [
@@ -339,16 +516,29 @@ class NetworkFactory:
                     Logger.info_green(tr_line)
                     Logger.info(it_line)
 
-                loss_rows.append(
-                    [it, float(loss)] + [float(s) for s in stats]
-                )
-                telemetry.record(it, {"loss": loss_rows[-1][1],
-                                      "ips": it / (time.perf_counter() - t_start)})
+                    # failure detection: a diverged run burns the remaining
+                    # schedule — stop at the first non-finite loss with the
+                    # state still checkpointable (the reference had no
+                    # failure handling at all, SURVEY.md §5)
+                    if not np.isfinite(float(loss)):
+                        cfg.update_iteration(it)
+                        self.save_parameters()
+                        raise FloatingPointError(
+                            "non-finite loss at iteration {}; state saved to "
+                            "{}".format(it, self._checkpoint_path())
+                        )
+
+                # keep per-step loss/stats ON DEVICE — a host read here
+                # would re-synchronize every step through the dispatch
+                # queue (~2x slower end-to-end); everything is fetched in
+                # one bulk transfer at snapshot time
+                loss_rows.append([it, loss] + list(stats))
+                telemetry.record(it, {"ips": it / (time.perf_counter() - t_start)})
 
                 if it % cfg.snapshotFrequency == 0:
                     cfg.update_iteration(it)
                     self.save_parameters()
-                    rows = np.asarray(loss_rows, np.float64)
+                    rows = np.asarray(jax.device_get(loss_rows), np.float64)
                     np.savetxt(
                         os.path.join(
                             cfg.dirResult,

@@ -1,0 +1,42 @@
+"""Pallas kernels vs their XLA counterparts (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scd_resnet_tpu.ops.corner_pool import bottom_pool, left_pool, top_pool
+from scd_resnet_tpu.ops.gaussian import render_heatmap
+from scd_resnet_tpu.ops.pallas_kernels import corner_pool_pallas, render_heatmap_pallas
+
+
+def test_render_heatmap_pallas_matches_xla():
+    rng = np.random.default_rng(0)
+    b, k, size = 2, 6, 32
+    locs = np.zeros((b, k, 8), np.float32)
+    locs[..., 0] = rng.uniform(2, size - 3, (b, k))
+    locs[..., 1] = rng.uniform(2, size - 3, (b, k))
+    locs[..., 4] = rng.uniform(1, 4, (b, k))
+    locs[..., 5] = rng.uniform(1, 4, (b, k))
+    locs[..., 6] = rng.uniform(1, 3, (b, k))
+    valid = np.ones((b, k), bool)
+    valid[:, -2:] = False
+
+    want = jax.vmap(lambda l, v: render_heatmap(l, v, size))(
+        jnp.array(locs), jnp.array(valid))
+    got = render_heatmap_pallas(jnp.array(locs), jnp.array(valid), size,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_corner_pool_pallas_matches_cummax():
+    rng = np.random.default_rng(1)
+    x = jnp.array(rng.standard_normal((2, 8, 16, 4)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(corner_pool_pallas(x, 1, True, interpret=True)),
+        np.asarray(top_pool(x)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(corner_pool_pallas(x, 1, False, interpret=True)),
+        np.asarray(bottom_pool(x)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(corner_pool_pallas(x, 2, True, interpret=True)),
+        np.asarray(left_pool(x)), atol=1e-6)

@@ -57,7 +57,16 @@ def begin(settings):
         Logger.err(":: trace.py :: checkpoint does not exist: {}".format(
             settings["model"]))
         sys.exit(1)
-    params, batch_stats = load_params_only(settings["model"])
+    try:
+        params, batch_stats = load_params_only(settings["model"])
+    except Exception:
+        # reference-era torch .pth: convert the state_dict layout
+        from scd_resnet_tpu.core.torch_convert import convert_pth_file
+
+        Logger.warn(":: trace.py :: not a native checkpoint; converting "
+                    "torch state_dict")
+        num_layers = profile.model_params.get("num_layers", 10)
+        params, batch_stats = convert_pth_file(settings["model"], num_layers)
 
     n, c, h, w = settings["shape"]
     input_shape = (n, h, w, c)
