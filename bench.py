@@ -114,10 +114,46 @@ def bench_jax(batch: int, size: int, steps: int, warmup: int) -> float:
     return batch * steps / dt
 
 
-def bench_torch_cpu(batch: int, size: int, steps: int) -> float:
-    """Architecture-equivalent ResNet-10 CenterNet-offset train step on
-    torch CPU, including the host-side label stamping the reference does in
-    its Dataset (scdx16p100.py:514-531)."""
+def bench_jax_infer(batch: int, size: int, steps: int, warmup: int) -> float:
+    """Serving path: per-clip standardization + forward + NMS/top-K decode
+    (the traced-wrapper computation test.py drives), batch 24 by default."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_resnet_tpu.infer.wrapper import make_wrapper
+    from scd_resnet_tpu.models.center_net_offset import CenterNetResidual
+
+    model = CenterNetResidual(num_layers=10, compute_dtype="bfloat16")
+    samples, _, _ = _make_batch(batch, size)
+    x0 = jnp.asarray(samples)[..., None]
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    wrapper = make_wrapper(model, variables["params"],
+                           variables["batch_stats"])
+
+    @jax.jit
+    def infer(raw):
+        mean = raw.mean(axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(raw - mean), axis=(1, 2, 3), keepdims=True)
+        return wrapper((raw - mean) / jnp.sqrt(var))
+
+    out = None
+    for _ in range(warmup):
+        out = infer(x0)
+    float(out[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = infer(x0)
+    float(out[0, 0, 0])
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def bench_torch_cpu(batch: int, size: int, steps: int,
+                    mode: str = "train") -> float:
+    """Architecture-equivalent ResNet-10 CenterNet-offset on torch CPU.
+
+    mode="train": label stamping + forward/backward/Adam (the reference's
+    Dataset.__getitem__ + DDP step). mode="infer": normalize + forward +
+    maxpool-NMS + top-K decode (the reference's test.py serving path)."""
     import torch
     import torch.nn as tnn
     import torch.nn.functional as tF
@@ -204,8 +240,25 @@ def bench_torch_cpu(batch: int, size: int, steps: int) -> float:
         return heatmaps
 
     net = Net()
-    opt = torch.optim.Adam(net.parameters(), lr=1.25e-4)
     samples, locs, counts = _make_batch(batch, size)
+
+    if mode == "infer":
+        net.eval()
+        with torch.no_grad():
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                x = torch.from_numpy(samples).unsqueeze(1)
+                x = (x - x.mean()) / x.std()
+                outs = net(x)
+                heat = torch.sigmoid(outs["heatmap"])
+                hmax = tF.max_pool2d(heat, 3, stride=1, padding=1)
+                heat = heat * (hmax == heat)
+                scores, inds = torch.topk(heat.reshape(batch, -1), 100)
+                _ = outs["regr"].reshape(batch, -1, 4).shape
+            dt = time.perf_counter() - t0
+        return batch * steps / dt
+
+    opt = torch.optim.Adam(net.parameters(), lr=1.25e-4)
 
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -247,28 +300,41 @@ def main():
     batch = 8 if args.quick else args.batch
     steps = 5 if args.quick else args.steps
 
-    value = bench_jax(batch, size, steps, args.warmup)
+    train_value = bench_jax(batch, size, steps, args.warmup)
+    infer_batch = 24 if not args.quick else 8
+    infer_value = bench_jax_infer(infer_batch, size,
+                                  max(steps, 10), args.warmup)
 
-    baseline = None
+    cache = {}
     if os.path.exists(BASELINE_CACHE) and not args.refresh_baseline:
         with open(BASELINE_CACHE) as f:
             cache = json.load(f)
-        if cache.get("size") == size:
-            baseline = cache["clips_per_sec"]
-    if baseline is None:
-        bsteps = 1 if args.quick else 2
-        bbatch = min(batch, 8)
-        baseline = bench_torch_cpu(bbatch, size, bsteps)
+        if cache.get("size") != size:
+            cache = {}
+    bsteps = 1 if args.quick else 2
+    bbatch = min(batch, 8)
+    if "train_clips_per_sec" not in cache:
+        cache = {"size": size,
+                 "train_clips_per_sec": bench_torch_cpu(bbatch, size, bsteps),
+                 "infer_clips_per_sec": bench_torch_cpu(
+                     bbatch, size, bsteps * 2, mode="infer"),
+                 "note": "torch-CPU reference-equivalent, this machine"}
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"size": size, "clips_per_sec": baseline,
-                       "note": "torch-CPU preprocess+train, this machine"}, f)
+            json.dump(cache, f)
+    train_baseline = cache["train_clips_per_sec"]
+    infer_baseline = cache["infer_clips_per_sec"]
 
+    # headline matches BASELINE.json's metric string (preprocess+infer);
+    # the north-star preprocess+train rate rides along as extra fields,
+    # both normalized against the torch-CPU preprocess+train baseline
     print(json.dumps({
-        "metric": "512x512 clips/sec/chip (preprocess+train)"
+        "metric": "512x512 clips/sec/chip (preprocess+infer)"
         if not args.quick else "128x128 clips/sec/chip (quick)",
-        "value": round(value, 2),
+        "value": round(infer_value, 2),
         "unit": "clips/s",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(infer_value / infer_baseline, 2),
+        "train_clips_per_sec": round(train_value, 2),
+        "train_vs_baseline": round(train_value / train_baseline, 2),
     }))
 
 

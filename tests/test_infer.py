@@ -1,0 +1,118 @@
+"""Inference path: tiling geometry, padding semantics, stitching, Rhr,
+and the two-Gaussian fit — golden-checked against the reference formulas
+(test.py:41-183)."""
+
+import math
+
+import numpy as np
+
+from scd_resnet_tpu.infer.analyse import (
+    BATCH_SIZE,
+    INPUT_SIZE,
+    PADDING_SIZE,
+    analyse_grayscale,
+    fit_rhr,
+    gauss2,
+    rhr_histogram,
+    tile_slide,
+)
+from scd_resnet_tpu.ops.image import (
+    grayscale_inference,
+    grayscale_preprocess,
+    pad_reflect_hybrid,
+)
+
+
+def test_tile_geometry_reference_slide():
+    """The canonical 3092x2056 slide (test.py docstring) must map to the
+    reference's grid: 8x6 clips, 3200x2432 padded, padLR 54, padTB 188."""
+    gray = np.zeros((2056, 3092), np.float32)
+    clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
+    assert (clip_h, clip_v) == (8, 6)
+    assert (pad_lr, pad_tb) == (54, 188)
+    assert clips.shape == (48, 512, 512)
+
+
+def test_pad_reflect_hybrid_semantics():
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    out = pad_reflect_hybrid(img, pad_lr=2, pad_tb=1)
+    assert out.shape == (5, 8)
+    # y axis: reflect101 (edge not repeated): row -1 == row 1
+    np.testing.assert_array_equal(out[0, 2:6], img[1])
+    # x axis: symmetric (edge repeated): col -1 == col 0
+    np.testing.assert_array_equal(out[2, 1], img[1, 0])
+    np.testing.assert_array_equal(out[2, 0], img[1, 1])
+
+
+def test_grayscale_formulas():
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[..., 0] = 100  # R
+    rgb[..., 1] = 50   # G
+    rgb[..., 2] = 200  # B
+    pre = grayscale_preprocess(rgb)
+    np.testing.assert_allclose(pre, 0.30 * 100 + 0.59 * 50 + 0.11 * 200)
+    inf = grayscale_inference(rgb)
+    np.testing.assert_allclose(
+        inf, np.round(0.1140 * 100 + 0.5870 * 50 + 0.2989 * 200))
+
+
+def test_stitch_and_rhr_formula():
+    """A fake decode model placing one detection per clip must stitch to
+    slide coords by x = clipX*(512-128) - padLR + ctX*4 + offX and compute
+    Rhr = (4*rad - 4*minL)/(2*4*minL) (test.py:117-141)."""
+    gray = np.zeros((600, 900), np.float32)
+
+    k = 100
+
+    def fake_model(batch):
+        b = batch.shape[0]
+        rows = np.zeros((10, b, k), np.float32)
+        rows[0, :, 0] = 0.9     # score above threshold, one det per clip
+        rows[2, :, 0] = 10.0    # ctY
+        rows[3, :, 0] = 20.0    # ctX
+        rows[6, :, 0] = 2.0     # minL
+        rows[7, :, 0] = 6.0     # rad
+        rows[8, :, 0] = 1.5     # offX
+        rows[9, :, 0] = -0.5    # offY
+        return rows
+
+    dets = analyse_grayscale(fake_model, gray)
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    clip_h = math.ceil((900 - 128) / stride)
+    clip_v = math.ceil((600 - 128) / stride)
+    assert len(dets) == clip_h * clip_v
+    # padded geometry
+    resize_w = stride * clip_h + 2 * PADDING_SIZE
+    resize_h = stride * clip_v + 2 * PADDING_SIZE
+    if (resize_w - 900) % 2:
+        resize_w += 1
+    if (resize_h - 600) % 2:
+        resize_h += 1
+    pad_lr = (resize_w - 900) // 2
+    pad_tb = (resize_h - 600) // 2
+    x0, y0, rhr = dets[0]
+    assert x0 == int(0 * stride - pad_lr + 20.0 * 4 + 1.5)
+    assert y0 == int(0 * stride - pad_tb + 10.0 * 4 - 0.5)
+    dminl, halo = 2.0 * 4, 6.0 * 4
+    assert abs(rhr - (halo - dminl) / (2 * dminl)) < 1e-9
+    # clip (1, 0) shifts x by one stride (int() truncates toward zero, the
+    # reference's exact semantics — test.py:134)
+    x1 = dets[clip_v][0]
+    assert x1 == int(1 * stride - pad_lr + 20.0 * 4 + 1.5)
+
+
+def test_rhr_histogram_and_fit():
+    rng = np.random.default_rng(0)
+    rhrs = np.concatenate([
+        rng.normal(0.15, 0.05, 400), rng.normal(0.8, 0.12, 600)])
+    xs, ys = rhr_histogram(rhrs)
+    assert xs.shape == ys.shape == (150,)
+    assert abs(xs[0] + 0.25) < 1e-9 and abs(xs[-1] - 1.24) < 1e-9
+    popt = fit_rhr(rhrs)
+    a1, m1, s1, a2, m2, s2 = popt
+    # the two fitted modes recover the generating means
+    assert abs(m1 - 0.15) < 0.05
+    assert abs(m2 - 0.8) < 0.08
+    # fit reproduces the histogram
+    resid = np.abs(gauss2(xs, *popt) - ys).max()
+    assert resid < 0.02
