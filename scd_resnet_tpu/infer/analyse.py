@@ -21,7 +21,7 @@ Re-design of the served path (reference: test.py:41-183):
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -78,17 +78,40 @@ def tile_slide(gray: np.ndarray) -> Tuple[np.ndarray, int, int, int, int]:
     return clips, clip_h, clip_v, pad_lr, pad_tb
 
 
-def analyse_images(model: Callable, full_path: str) -> List[List[float]]:
+def analyse_images(model: Callable, full_path: str,
+                   dedupe_radius: Optional[float] = None) -> List[List[float]]:
     """Detections ``[slide_x, slide_y, Rhr]`` for one slide image.
 
     ``model`` maps a (B, 512, 512, 1) float batch to the (10, B, K) stacked
     decode rows (infer/wrapper.py)."""
     rgb = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(full_path))
     gray = grayscale_inference(rgb)
-    return analyse_grayscale(model, gray)
+    return analyse_grayscale(model, gray, dedupe_radius)
 
 
-def analyse_grayscale(model: Callable, gray: np.ndarray) -> List[List[float]]:
+def dedupe_detections(detections: List[List[float]],
+                      radius: float) -> List[List[float]]:
+    """Greedy duplicate suppression for tile-overlap double detections.
+
+    Clips share 2*64 px margins, so an object near a tile border is decoded
+    by both neighbors (the reference's margin filter for this was left
+    commented out, test.py:127-130, shipping the duplicates). Keeps the
+    first detection and drops later ones within ``radius`` px."""
+    kept: List[List[float]] = []
+    for det in detections:
+        duplicate = any(
+            (det[0] - other[0]) ** 2 + (det[1] - other[1]) ** 2
+            <= radius * radius
+            for other in kept
+        )
+        if not duplicate:
+            kept.append(det)
+    return kept
+
+
+def analyse_grayscale(model: Callable, gray: np.ndarray,
+                      dedupe_radius: Optional[float] = None
+                      ) -> List[List[float]]:
     clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
     stride = INPUT_SIZE - 2 * PADDING_SIZE
 
@@ -133,6 +156,8 @@ def analyse_grayscale(model: Callable, gray: np.ndarray) -> List[List[float]]:
                     ]
                 )
             idx += 1
+    if dedupe_radius is not None:
+        detections = dedupe_detections(detections, dedupe_radius)
     return detections
 
 

@@ -127,7 +127,8 @@ class CornerNetCPoolResidual(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         # shared trunk (stem + stages + deconvs), then the plain center head
         # and the corner-pooled tl/br heads on the same feature map
-        features = _ResNetTrunk(self.num_layers, tuple(self.dims))(x, train)
+        features = ResNetBackbone(self.num_layers, (), tuple(self.dims))(
+            x, train)
         heat = nn.Conv(128, (3, 3), padding=1, use_bias=True)(features)
         heat = nn.relu(heat)
         heat = nn.Conv(CLASS_DIMENSION, (1, 1), use_bias=True,
@@ -135,39 +136,6 @@ class CornerNetCPoolResidual(nn.Module):
         tl = _CornerHead((top_pool, left_pool), name="tl_head")(features, train)
         br = _CornerHead((bottom_pool, right_pool), name="br_head")(features, train)
         return {"heatmap": heat, "tl": tl, "br": br}
-
-
-class _ResNetTrunk(nn.Module):
-    """ResNet stem + stages + deconvs, without terminal heads."""
-
-    num_layers: int
-    dims: Sequence[int]
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        from scd_resnet_tpu.models.layers import max_pool_3x3_s2
-
-        block, stages = RESNET_SPEC[self.num_layers]
-        dims = tuple(self.dims)
-        x = nn.Conv(dims[0], (7, 7), strides=(2, 2), padding=3, use_bias=False)(x)
-        x = BatchNorm()(x, train)
-        x = nn.relu(x)
-        x = max_pool_3x3_s2(x)
-        for stage_idx, (features, blocks) in enumerate(zip(dims[1:5], stages)):
-            stride = 1 if stage_idx == 0 else 2
-            needs_down = stride != 1 or x.shape[-1] != features * block.expansion
-            x = block(features, stride, downsample=needs_down)(x, train)
-            for _ in range(1, blocks):
-                x = block(features)(x, train)
-        for features in dims[5:8]:
-            x = nn.ConvTranspose(
-                features, (4, 4), strides=(2, 2), padding="SAME",
-                use_bias=False,
-                kernel_init=nn.initializers.normal(stddev=0.001),
-            )(x)
-            x = BatchNorm()(x, train)
-            x = nn.relu(x)
-        return x
 
 
 class CornerNetCombined(nn.Module):

@@ -217,6 +217,11 @@ class ResNetBackbone(nn.Module):
             x = BatchNorm()(x, train)
             x = nn.relu(x)
 
+        # terminals=() exposes the raw upsampled features so model families
+        # with custom head prologues (e.g. corner pooling) share this trunk
+        if not self.terminals:
+            return x
+
         # heads compute in the same dtype but emit float32 for the losses
         return {
             spec.name: TerminalHead(spec, dtype=self.dtype, name=spec.name)(x)

@@ -53,6 +53,9 @@ def main():
                         help="write detections JSON here")
     parser.add_argument("--fit", action="store_true",
                         help="fit the two-Gaussian Rhr histogram")
+    parser.add_argument("--dedupe", type=float, default=None,
+                        help="suppress tile-overlap duplicate detections "
+                        "within this radius (px)")
     args = parser.parse_args()
 
     from scd_resnet_tpu.core.logging import Logger
@@ -63,7 +66,7 @@ def main():
 
     register = []
     for path in args.images:
-        detections = analyse_images(model, path)
+        detections = analyse_images(model, path, dedupe_radius=args.dedupe)
         Logger.log("{}: {} detections".format(path, len(detections)))
         for det in detections:
             register.append({"image": path, "x": det[0], "y": det[1],
