@@ -237,12 +237,28 @@ def center_net_evaluation(xs, ys, ct_scores, ct_indices, ct_y, ct_x, offset,
 
     valid = ct_scores >= score_threshold
 
+    def summed(vals, mask, nan_filter=False):
+        """Device-side (sum, count) of masked values — the mean metrics
+        never leave the chip as full (N, K, L) grids; only the AP pair list
+        (iouscore) is transferred."""
+        maskf = jnp.asarray(mask, jnp.float32)
+        if nan_filter:
+            finite = jnp.isfinite(vals)
+            maskf = maskf * finite
+            vals = jnp.where(finite, vals, 0.0)
+        return (vals * maskf).sum(), maskf.sum()
+
+    ortho_vals, ortho_mask = orthogonality(bounds, gt_locs, maj_pred, maj_gt,
+                                           valid)
+    ae_maj, ae_min, ae_rad, mae_mask = mae(bounds, gt_locs, regr_pred,
+                                           regr_gt3, valid)
     return {
         "iouscore": iou_confidence(bounds, gt_locs, ct_scores, valid),
-        "ortho": orthogonality(bounds, gt_locs, maj_pred, maj_gt, valid),
-        "ioucenter": iou(bounds_center, gt_locs_center, valid),
-        "iouoffsetwo": iou(bounds_center, gt_locs_offset, valid),
-        "iouoffset": iou(bounds_offset, gt_locs_offset, valid),
-        "maes": mae(bounds, gt_locs, regr_pred, regr_gt3, valid),
+        "ortho": summed(ortho_vals, ortho_mask, nan_filter=True),
+        "ioucenter": summed(*iou(bounds_center, gt_locs_center, valid)),
+        "iouoffsetwo": summed(*iou(bounds_center, gt_locs_offset, valid)),
+        "iouoffset": summed(*iou(bounds_offset, gt_locs_offset, valid)),
+        "maes": (summed(ae_maj, mae_mask), summed(ae_min, mae_mask),
+                 summed(ae_rad, mae_mask)),
         "objs": obj_num,
     }

@@ -15,7 +15,7 @@ analog here — it is the default behavior.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ Layouts are NHWC; weights are HWIO.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

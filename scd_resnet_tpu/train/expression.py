@@ -29,11 +29,23 @@ def _mean(x: np.ndarray) -> float:
     return float(x.mean()) if x.size else 0.0
 
 
+def _sum_count_mean(batches: List[Dict], key: str, index=None) -> float:
+    """Mean from per-batch device-side (sum, count) pairs."""
+    total = 0.0
+    count = 0.0
+    for batch in batches:
+        entry = batch[key] if index is None else batch[key][index]
+        total += float(np.asarray(entry[0]))
+        count += float(np.asarray(entry[1]))
+    return total / count if count > 0 else 0.0
+
+
 def aggregate_center_net(batches: List[Dict]) -> Dict[str, float]:
-    """Aggregate per-batch metric dicts into the scalar report metrics."""
-    ious, scores, orthos = [], [], []
-    iou_centers, iou_offsets, iou_offset_wos = [], [], []
-    ae_majs, ae_mins, ae_rads = [], [], []
+    """Aggregate per-batch metric dicts into the scalar report metrics.
+
+    The mean metrics arrive as device-side (sum, count) pairs; only the AP
+    pair grid (iouscore) is transferred in full."""
+    ious, scores = [], []
     obj_num = 0.0
 
     for batch in batches:
@@ -41,36 +53,20 @@ def aggregate_center_net(batches: List[Dict]) -> Dict[str, float]:
         vals, svals, mask = batch["iouscore"]
         ious.append(_masked(vals, mask))
         scores.append(_masked(svals, mask))
-        vals, mask = batch["ortho"]
-        orthos.append(_masked(vals, mask))
-        vals, mask = batch["ioucenter"]
-        iou_centers.append(_masked(vals, mask))
-        vals, mask = batch["iouoffset"]
-        iou_offsets.append(_masked(vals, mask))
-        vals, mask = batch["iouoffsetwo"]
-        iou_offset_wos.append(_masked(vals, mask))
-        maj, mn, rad, mask = batch["maes"]
-        ae_majs.append(_masked(maj, mask))
-        ae_mins.append(_masked(mn, mask))
-        ae_rads.append(_masked(rad, mask))
 
     ious = np.concatenate(ious) if ious else np.zeros(0)
     scores = np.concatenate(scores) if scores else np.zeros(0)
-    orthos = np.concatenate(orthos) if orthos else np.zeros(0)
-    orthos = orthos[~np.isnan(orthos)]
 
     result = {
         "mIoU": _mean(ious),
-        "mIoUC": _mean(np.concatenate(iou_centers) if iou_centers else np.zeros(0)),
-        "mIoUO": _mean(np.concatenate(iou_offsets) if iou_offsets else np.zeros(0)),
-        "mIoUwoO": _mean(
-            np.concatenate(iou_offset_wos) if iou_offset_wos else np.zeros(0)
-        ),
-        "orthogonity": _mean(orthos),
+        "mIoUC": _sum_count_mean(batches, "ioucenter"),
+        "mIoUO": _sum_count_mean(batches, "iouoffset"),
+        "mIoUwoO": _sum_count_mean(batches, "iouoffsetwo"),
+        "orthogonity": _sum_count_mean(batches, "ortho"),
         "avgScore": _mean(scores),
-        "majMAE": _mean(np.concatenate(ae_majs) if ae_majs else np.zeros(0)),
-        "minMAE": _mean(np.concatenate(ae_mins) if ae_mins else np.zeros(0)),
-        "radMAE": _mean(np.concatenate(ae_rads) if ae_rads else np.zeros(0)),
+        "majMAE": _sum_count_mean(batches, "maes", 0),
+        "minMAE": _sum_count_mean(batches, "maes", 1),
+        "radMAE": _sum_count_mean(batches, "maes", 2),
     }
 
     obj_num = max(obj_num, float(len(ious)))

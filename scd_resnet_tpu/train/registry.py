@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 from scd_resnet_tpu.models import center_net as cns
 from scd_resnet_tpu.models import center_net_offset as cno
