@@ -64,9 +64,19 @@ class SCDDataset:
                  argument_ratio: int = 16, partition: float = 1.0,
                  train_subset: str = "train16p100", test_set: int = 5760,
                  heat_size: Optional[int] = None,
-                 split_profile_path: Optional[str] = None, seed: int = 42):
+                 split_profile_path: Optional[str] = None, seed: int = 42,
+                 storage_dtype: str = "float32"):
         Logger.log("Loading archive {} ...".format(zip_path))
         self.names, self.samples, self.locs, self.counts = read_archive(zip_path)
+        # compact in-memory storage: halves/quarters both host RAM and the
+        # per-batch host->device payload in streaming mode (the on-device
+        # pipeline casts back to float32 before augmentation)
+        if storage_dtype == "float16":
+            self.samples = self.samples.astype(np.float16)
+        elif storage_dtype == "uint8":
+            self.samples = np.clip(np.rint(self.samples), 0, 255).astype(
+                np.uint8)
+        self.storage_dtype = storage_dtype
         if self.samples.ndim != 3 or len(self.names) == 0:
             raise ValueError("empty or malformed archive: {}".format(zip_path))
         size = self.samples.shape[1]

@@ -110,6 +110,7 @@ class NetworkFactory:
                 train_subset=ds_profile.train_subset,
                 split_profile_path=cfg.dirDataSplitProfile,
                 seed=seed,
+                storage_dtype=cfg.config.get("storageDtype", "float32"),
             )
         self.dataset = dataset
         self.heat_size = dataset.heat_size
@@ -277,9 +278,9 @@ class NetworkFactory:
             return
         order = np.concatenate(rows)
         samples = self.dataset.samples[order]
-        if storage == "uint8":
+        if storage == "uint8" and samples.dtype != np.uint8:
             samples = np.clip(np.rint(samples), 0, 255).astype(np.uint8)
-        elif storage == "float16":
+        elif storage == "float16" and samples.dtype != np.float16:
             samples = samples.astype(np.float16)
         Logger.log(
             "Uploading device-resident dataset: {} clips, {:.2f} GB as {} "
