@@ -116,6 +116,27 @@ def _rotate_coords(locs: np.ndarray, center_x4: float, center_y4: float,
     return np.asarray(rotate_coordinates(locs, center_x4, center_y4, angle))
 
 
+def _debug_overlay(output_path: str, name: str, clip: np.ndarray,
+                   locs: np.ndarray) -> None:
+    """Write one overlay PNG next to the archive: clip + center/major-axis
+    markers, for visual inspection of the generated geometry."""
+    from PIL import Image, ImageDraw
+
+    debug_dir = output_path + ".debug"
+    os.makedirs(debug_dir, exist_ok=True)
+    img = Image.fromarray(
+        np.clip(clip, 0, 255).astype(np.uint8)).convert("RGB")
+    draw = ImageDraw.Draw(img)
+    for loc in locs:
+        cx = (loc[0] + 0.0) * 4 + loc[2]
+        cy = (loc[1] + 0.0) * 4 + loc[3]
+        draw.ellipse([cx - 3, cy - 3, cx + 3, cy + 3], outline=(255, 64, 64),
+                     width=2)
+        draw.line([(cx - loc[4] * 4, cy - loc[5] * 4),
+                   (cx + loc[4] * 4, cy + loc[5] * 4)], fill=(64, 255, 64))
+    img.save(os.path.join(debug_dir, name + ".png"))
+
+
 def generate_archive(settings: Dict, image_file_names: List[str],
                      zip_archive) -> None:
     """Profile entry point (preprocess.py:70-71 contract): fill the zip
@@ -199,6 +220,12 @@ def generate_archive(settings: Dict, image_file_names: List[str],
                             "{}/{}.npy".format(sub, name), buf.getvalue()
                         )
                     names.append(name + ".npy")
+
+                    # -v debug visualization (the reference's preprocess.py
+                    # -v flag, 62-64): dump an overlay PNG of the first
+                    # repeat's clips with their loc records
+                    if settings.get("verbal") and rep == 0:
+                        _debug_overlay(settings["outputPath"], name, clip, bs)
                     general_id += 1
         Logger.log("preprocessed {} ({} clips so far)".format(image_file, len(names)))
 
