@@ -56,9 +56,18 @@ _DEFAULTS: Dict[str, Any] = {
     "dirDatafile": "{dirDataset}{datasetName}.d",
     "dirDataSplitProfile": "{dirDataset}{datasetName}.split.json",
     "useGPU": False,
-    # extension over the reference schema: conv-path compute precision,
-    # "float32" (default) or "bfloat16" (MXU-native; params/BN stay f32)
+    # extensions over the reference schema:
+    # conv-path compute precision — "float32" | "bfloat16" (MXU-native;
+    # params/BN stay f32)
     "precision": "float32",
+    # dataset placement — "auto" | "device" (HBM-resident shards) | "host"
+    "residency": "auto",
+    # in-memory/HBM clip storage — "float32" | "float16" | "uint8"
+    "storageDtype": "float16",
+    # rematerialize activations in the backward pass (memory for FLOPs)
+    "remat": False,
+    # base PRNG seed for init/shuffling/augmentation
+    "seed": 42,
 }
 
 

@@ -76,9 +76,11 @@ class NetworkFactory:
 
     def __init__(self, config: Optional[Configuration] = None,
                  dataset: Optional[SCDDataset] = None,
-                 mesh=None, seed: int = 42):
+                 mesh=None, seed: Optional[int] = None):
         self.config = config or default_config
         cfg = self.config
+        if seed is None:
+            seed = int(cfg.config.get("seed", 42))
 
         self.profile = get_model_profile(cfg.modelName)
         Logger.info("Loaded model profile: {}".format(cfg.modelName))
@@ -168,6 +170,20 @@ class NetworkFactory:
         model, loss_fn, tx, heat_size = self.model, self.loss, self.tx, self.heat_size
         corner_targets = self.profile.corner_targets
 
+        remat = bool(self.config.config.get("remat", False))
+
+        def forward(p, batch_stats, xs):
+            return model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                xs, train=True, mutable=["batch_stats"],
+            )
+
+        if remat:
+            # trade FLOPs for activation memory: recompute the forward in
+            # the backward pass (jax.checkpoint) — enables larger batches /
+            # deeper backbones per chip
+            forward = jax.checkpoint(forward)
+
         def step(params, batch_stats, opt_state, samples, locs, counts, key):
             xs, ys = augment_and_render_batch(
                 key, samples, locs, counts, heat_size,
@@ -175,12 +191,7 @@ class NetworkFactory:
             )
 
             def objective(p):
-                outs, mutated = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    xs,
-                    train=True,
-                    mutable=["batch_stats"],
-                )
+                outs, mutated = forward(p, batch_stats, xs)
                 loss, stats = loss_fn(as_stack_list(outs), ys)
                 return loss, (stats, mutated["batch_stats"])
 

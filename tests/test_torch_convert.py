@@ -3,6 +3,7 @@ torch model using the reference's module naming and our flax
 CenterNetResidual loaded with the converted weights."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -37,19 +38,26 @@ class _TorchBasicBlock(tnn.Module):
 
 
 class _TorchRef(tnn.Module):
-    """Reference-named CenterNetResidual (ResNet-10, tiny dims)."""
+    """Reference-named CenterNetResidual (tiny dims); ``repeats`` mirrors
+    the ResNetSpec stage depths (e.g. (2,2,2,2) for ResNet-18)."""
 
-    def __init__(self):
+    def __init__(self, repeats=(1, 1, 1, 1)):
         super().__init__()
         d = DIMS
         self.preprocess = tnn.Sequential(
             tnn.Conv2d(1, d[0], 7, 2, 3, bias=False), tnn.BatchNorm2d(d[0]),
             tnn.ReLU(), tnn.MaxPool2d(3, 2, 1),
         )
-        self.layer1 = tnn.Sequential(_TorchBasicBlock(d[0], d[1]))
-        self.layer2 = tnn.Sequential(_TorchBasicBlock(d[1], d[2], 2))
-        self.layer3 = tnn.Sequential(_TorchBasicBlock(d[2], d[3], 2))
-        self.layer4 = tnn.Sequential(_TorchBasicBlock(d[3], d[4], 2))
+
+        def stage(cin, cout, stride, n):
+            blocks = [_TorchBasicBlock(cin, cout, stride)]
+            blocks += [_TorchBasicBlock(cout, cout) for _ in range(n - 1)]
+            return tnn.Sequential(*blocks)
+
+        self.layer1 = stage(d[0], d[1], 1, repeats[0])
+        self.layer2 = stage(d[1], d[2], 2, repeats[1])
+        self.layer3 = stage(d[2], d[3], 2, repeats[2])
+        self.layer4 = stage(d[3], d[4], 2, repeats[3])
         ups = []
         cin = d[4]
         for cout in d[5:8]:
@@ -70,9 +78,11 @@ class _TorchRef(tnn.Module):
                 "offset": self.offset(x)}
 
 
-def test_converted_forward_matches_torch():
+@pytest.mark.parametrize("num_layers,repeats", [(10, (1, 1, 1, 1)),
+                                                (18, (2, 2, 2, 2))])
+def test_converted_forward_matches_torch(num_layers, repeats):
     torch.manual_seed(0)
-    ref = _TorchRef().eval()
+    ref = _TorchRef(repeats).eval()
     # nontrivial running stats
     with torch.no_grad():
         ref.train()
@@ -81,9 +91,11 @@ def test_converted_forward_matches_torch():
         ref.eval()
 
     state_dict = {"module." + k: v for k, v in ref.state_dict().items()}
-    params, stats = convert_center_net_residual(state_dict, num_layers=10)
+    params, stats = convert_center_net_residual(state_dict,
+                                                num_layers=num_layers)
 
-    model = CenterNetResidual(num_layers=10, dims=DIMS, terminal_hidden=HIDDEN)
+    model = CenterNetResidual(num_layers=num_layers, dims=DIMS,
+                              terminal_hidden=HIDDEN)
     x = np.random.default_rng(1).standard_normal((2, 64, 64, 1)).astype(
         np.float32)
     # template init to validate the converted tree structure matches
