@@ -1,0 +1,57 @@
+"""Dataset intake semantics: rotation-augment ratio filtering and partition
+truncation (scdx16p100.py:144-161), plus device-shard partitioning."""
+
+import numpy as np
+
+from scd_resnet_tpu.data.dataset import SCDDataset
+from scd_resnet_tpu.data.synthetic import make_archive
+
+
+def _dataset(tmp_path, **kwargs):
+    path = str(tmp_path / "a.d")
+    make_archive(path, num_images=2, reps=4, clips_per_image=4, size=128)
+    # 2 x 4 x 4 = 32 clips, reps 0..3
+    return SCDDataset(path, None, test_set=4, **kwargs)
+
+
+def test_argument_ratio_filters_rotation_reps(tmp_path):
+    ds = _dataset(tmp_path, argument_ratio=2, partition=1.0,
+                  train_subset="train2p100")
+    # reps 0,1 kept: 2 images x 2 reps x 4 clips = 16, minus 4 validation
+    total = len(ds.order) + len(ds.data_profile["validation"])
+    assert total == 16
+    kept_reps = {int(ds.names[i].split(".")[1]) for i in ds.order}
+    assert kept_reps <= {0, 1}
+
+
+def test_partition_truncates(tmp_path):
+    ds = _dataset(tmp_path, argument_ratio=4, partition=0.5,
+                  train_subset="train4p50")
+    total = len(ds.order) + len(ds.data_profile["validation"])
+    assert total == 16  # 32 * 0.5
+
+
+def test_device_shards_cover_rows(tmp_path):
+    ds = _dataset(tmp_path, argument_ratio=4, partition=1.0,
+                  train_subset="train4p100")
+    rows, local_train = ds.device_shards(4)
+    assert len(rows) == 4 and all(len(r) == 8 for r in rows)
+    # local train indices point at training rows only
+    train_set = set(ds.order)
+    for shard_rows, local in zip(rows, local_train):
+        for li in local:
+            assert int(shard_rows[li]) in train_set
+    # index batches are per-shard local and in range
+    batches = list(ds.epoch_local_indices(8, 4, local_train))
+    assert batches, "expected at least one resident batch"
+    for idx in batches:
+        assert idx.shape == (8,)
+        for d in range(4):
+            sl = idx[d * 2:(d + 1) * 2]
+            assert np.all(sl < len(rows[d]))
+
+
+def test_storage_dtype_compacts(tmp_path):
+    ds = _dataset(tmp_path, argument_ratio=4, partition=1.0,
+                  train_subset="t", storage_dtype="uint8")
+    assert ds.samples.dtype == np.uint8
