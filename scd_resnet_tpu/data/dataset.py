@@ -141,13 +141,35 @@ class SCDDataset:
         val_ids = np.asarray(self.data_profile["validation"], np.int64)
         if len(val_ids) == 0:
             return None
+        # render in fixed-size device chunks and keep the results on HOST:
+        # one jitted call over the production 5760-clip set would allocate
+        # several GB of inputs plus the (N, K, H, W) Gaussian broadcast in
+        # HBM, and the pre-rendered set only needs to stream back per
+        # validation batch anyway
+        chunk = 256
+        pad = (-len(val_ids)) % chunk
+        padded_ids = np.concatenate([val_ids, val_ids[: 1].repeat(pad)])
+        xs_parts, ys_parts = [], None
+        for start in range(0, len(padded_ids), chunk):
+            ids = padded_ids[start:start + chunk]
+            cx, cy = augment_and_render_batch(
+                jax.random.PRNGKey(0), self.samples[ids], self.locs[ids],
+                self.counts[ids], self.heat_size,
+                augment=False, corner_targets=corner_targets,
+            )
+            xs_parts.append(np.asarray(cx))
+            host_ys = [np.asarray(y) for y in cy]
+            if ys_parts is None:
+                ys_parts = [[y] for y in host_ys]
+            else:
+                for acc, y in zip(ys_parts, host_ys):
+                    acc.append(y)
+        total = len(val_ids)
+        xs = np.concatenate(xs_parts)[:total]
+        ys = [np.concatenate(parts)[:total] for parts in ys_parts]
         samples = self.samples[val_ids]
         locs = self.locs[val_ids]
         counts = self.counts[val_ids]
-        xs, ys = augment_and_render_batch(
-            jax.random.PRNGKey(0), samples, locs, counts, self.heat_size,
-            augment=False, corner_targets=corner_targets,
-        )
         if corner_targets:
             # corner-family layout: [heat, mask, regr, inds, tl, br]
             packed = {"xs": [xs], "ys": list(ys)}
@@ -159,8 +181,8 @@ class SCDDataset:
             # the integer indices.
             packed = {
                 "xs": [xs],
-                "ys": [ys[0], ys[1], ys[2], jax.numpy.asarray(locs),
-                       jax.numpy.asarray(counts), ys[3]],
+                "ys": [ys[0], ys[1], ys[2], np.asarray(locs, np.float32),
+                       np.asarray(counts), ys[3]],
             }
         self._validation_cache[corner_targets] = packed
         return packed
@@ -209,27 +231,20 @@ class SCDDataset:
     # ---- device-resident mode ---------------------------------------------
 
     def device_shards(self, num_shards: int):
-        """Partition the archive rows across ``num_shards`` devices for
-        HBM residency.
+        """Partition the TRAINING rows across ``num_shards`` devices for
+        HBM residency (validation stays on host and streams).
 
-        Returns ``(shard_rows, local_train)`` where ``shard_rows[d]`` is the
-        global row ids resident on device d (equal-length, tail rows
-        dropped) and ``local_train[d]`` the LOCAL indices within that shard
-        that belong to the training order. Each device then samples its own
-        shard — the DistributedSampler per-rank-subset semantics with zero
-        per-step host->device payload beyond the index vector.
-        """
-        n = len(self.names)
-        per = n // num_shards
-        train_set = set(self.order)
-        shard_rows = []
-        local_train = []
-        for d in range(num_shards):
-            rows = np.arange(d * per, (d + 1) * per)
-            shard_rows.append(rows)
-            local_train.append(
-                np.asarray([i for i, r in enumerate(rows) if r in train_set])
-            )
+        Returns ``(shard_rows, local_train)``: ``shard_rows[d]`` is the
+        global row ids resident on device d (equal-length; at most
+        ``num_shards - 1`` tail rows of the shuffled train order are
+        dropped, the drop_last analog) and ``local_train[d]`` the LOCAL
+        indices (the full shard). Each device samples its own shard — the
+        DistributedSampler per-rank-subset semantics with zero per-step
+        host->device payload beyond the index vector."""
+        order = np.asarray(self.order)
+        per = len(order) // num_shards
+        shard_rows = [order[d * per:(d + 1) * per] for d in range(num_shards)]
+        local_train = [np.arange(per) for _ in range(num_shards)]
         return shard_rows, local_train
 
     def epoch_local_indices(self, batch_size: int, num_shards: int,

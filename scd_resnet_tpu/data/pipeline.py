@@ -133,7 +133,10 @@ def augment_and_render_batch(key, samples, locs, counts, heat_size: int,
                 l, v, heat_size, THRESHOLD_IOU,
                 radius_fn=corner_threshold_radius, position_offset=off,
             )
-            heatc = jax.vmap(render)(locs, present, offs)
+            # render with the SAME floor-based bounds mask used for the
+            # indices: the renderer's trunc() would otherwise stamp a peak
+            # for corners in (-1, 0) that the mask/indices deny
+            heatc = jax.vmap(render)(locs, cmask, offs)
             return heatc[..., None], frac, inds, cmask
 
         tl_heat, tl_regr, tl_inds, tl_mask = corner_pack(-1.0)

@@ -104,7 +104,11 @@ def center_net_size_evaluation(xs, ys, ct_scores, ct_inds, ct_y, ct_x,
     tag_mask = ys[1]
     regr_gt = ys[2]
 
-    half = 0.5 * regression * SIZE_REGR_FACTOR
+    # the loss trains the head on size / (DOWNSAMPLE * SIZE_REGR_FACTOR)
+    # with size already in heatmap coordinates, so the full factor is
+    # undone here (the reference divided full-res gt by DOWNSAMPLE instead,
+    # centerNet.py:242-246 — same geometry, different unit bookkeeping)
+    half = 0.5 * regression * (DOWNSAMPLE * SIZE_REGR_FACTOR)
     bounds = jnp.stack(
         [ct_x - half[:, :, 0], ct_y - half[:, :, 1],
          ct_x + half[:, :, 0], ct_y + half[:, :, 1]], axis=-1,

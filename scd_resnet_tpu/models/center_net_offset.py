@@ -240,12 +240,14 @@ def center_net_evaluation(xs, ys, ct_scores, ct_indices, ct_y, ct_x, offset,
     def summed(vals, mask, nan_filter=False):
         """Device-side (sum, count) of masked values — the mean metrics
         never leave the chip as full (N, K, L) grids; only the AP pair list
-        (iouscore) is transferred."""
+        (iouscore) is transferred. Masked-out lanes can hold inf (IoU with
+        a zero union) so they must be zeroed BEFORE the multiply —
+        inf * 0 is NaN and would poison the sum."""
         maskf = jnp.asarray(mask, jnp.float32)
         if nan_filter:
             finite = jnp.isfinite(vals)
             maskf = maskf * finite
-            vals = jnp.where(finite, vals, 0.0)
+        vals = jnp.where(maskf > 0, vals, 0.0)
         return (vals * maskf).sum(), maskf.sum()
 
     ortho_vals, ortho_mask = orthogonality(bounds, gt_locs, maj_pred, maj_gt,

@@ -163,8 +163,8 @@ def deform_psroi_pooling(x, rois, trans, *, output_dim: int, group_size: int,
     hstart = (ph[None, :, None] * bin_h[:, None, None]
               + y1[:, None, None] + trans_y * roi_h[:, None, None])
 
-    s = jnp.arange(sample_per_part) + 0.5
-    # sample positions (N, p, p, s, s)
+    s = jnp.arange(sample_per_part).astype(jnp.float32)
+    # sample positions (N, p, p, s, s) at i * sub_bin (dcn.roipool.cpp:128-129)
     sy = hstart[..., None, None] + s[None, None, None, :, None] * \
         sub_h[:, None, None, None, None]
     sx = wstart[..., None, None] + s[None, None, None, None, :] * \

@@ -120,9 +120,13 @@ class NetworkFactory:
 
         if mesh is None:
             # the data axis must divide the global batch; use the largest
-            # device-count divisor (single chip always works)
+            # batch divisor that fits the device count (single chip always
+            # works)
             devices = jax.devices()
-            usable = __import__("math").gcd(cfg.batchSize, len(devices))
+            usable = max(
+                d for d in range(1, len(devices) + 1)
+                if cfg.batchSize % d == 0
+            )
             if usable != len(devices):
                 Logger.warn(
                     ":: factory :: batchSize {} not divisible by {} devices; "
@@ -166,11 +170,10 @@ class NetworkFactory:
 
     # ---- jitted steps ----------------------------------------------------
 
-    def _build_train_step(self):
-        model, loss_fn, tx, heat_size = self.model, self.loss, self.tx, self.heat_size
-        corner_targets = self.profile.corner_targets
-
-        remat = bool(self.config.config.get("remat", False))
+    def _make_forward(self):
+        """Training-mode forward, optionally rematerialized ('remat' config:
+        recompute activations in the backward pass — memory for FLOPs)."""
+        model = self.model
 
         def forward(p, batch_stats, xs):
             return model.apply(
@@ -178,13 +181,18 @@ class NetworkFactory:
                 xs, train=True, mutable=["batch_stats"],
             )
 
-        if remat:
-            # trade FLOPs for activation memory: recompute the forward in
-            # the backward pass (jax.checkpoint) — enables larger batches /
-            # deeper backbones per chip
+        if bool(self.config.config.get("remat", False)):
             forward = jax.checkpoint(forward)
+        return forward
 
-        def step(params, batch_stats, opt_state, samples, locs, counts, key):
+    def _make_step_core(self):
+        """The augment+render -> forward -> loss -> grad -> update body,
+        shared by the streaming and device-resident train steps."""
+        loss_fn, tx, heat_size = self.loss, self.tx, self.heat_size
+        corner_targets = self.profile.corner_targets
+        forward = self._make_forward()
+
+        def core(params, batch_stats, opt_state, samples, locs, counts, key):
             xs, ys = augment_and_render_batch(
                 key, samples, locs, counts, heat_size,
                 corner_targets=corner_targets,
@@ -202,8 +210,11 @@ class NetworkFactory:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_bs, new_opt, loss, stats
 
+        return core
+
+    def _build_train_step(self):
         return jax.jit(
-            step,
+            self._make_step_core(),
             in_shardings=(
                 self._replicated,  # params
                 self._replicated,  # batch_stats
@@ -213,13 +224,7 @@ class NetworkFactory:
                 self._batch_shard,  # counts
                 self._replicated,  # key
             ),
-            out_shardings=(
-                self._replicated,
-                self._replicated,
-                self._replicated,
-                self._replicated,
-                self._replicated,
-            ),
+            out_shardings=(self._replicated,) * 5,
             donate_argnums=(0, 1, 2),
         )
 
@@ -269,7 +274,9 @@ class NetworkFactory:
         storage = cfg.config.get("storageDtype", "float16")
         n_dev = self.mesh.devices.size
         itemsize = {"float32": 4, "float16": 2, "uint8": 1}[storage]
-        total_bytes = self.dataset.samples.size * itemsize
+        # only training rows are uploaded; validation streams from host
+        clip_elems = int(np.prod(self.dataset.samples.shape[1:]))
+        total_bytes = len(self.dataset.order) * clip_elems * itemsize
         budget = 4 * 1024**3 * n_dev  # leave HBM room for activations
         if mode == "auto" and total_bytes > budget:
             Logger.warn(
@@ -315,62 +322,28 @@ class NetworkFactory:
 
         try:
             from jax import shard_map as _shard_map
-
-            def smap(fn):
-                return _shard_map(
-                    fn, mesh=self.mesh,
-                    in_specs=(P("data"),) * 4, out_specs=(P("data"),) * 3,
-                )
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map as _shard_map
 
-            def smap(fn):
-                return _shard_map(
-                    fn, mesh=self.mesh,
-                    in_specs=(P("data"),) * 4, out_specs=(P("data"),) * 3,
-                )
+        def local(s, l, c, i):
+            return s[i].astype(jnp.float32), l[i], c[i]
 
-        def gather(samples_all, locs_all, counts_all, idx):
-            def local(s, l, c, i):
-                return (
-                    s[i].astype(jnp.float32),
-                    l[i],
-                    c[i],
-                )
-
-            return smap(local)(samples_all, locs_all, counts_all, idx)
-
+        gather = _shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("data"),) * 4, out_specs=(P("data"),) * 3,
+        )
         return gather
 
     def _build_train_step_resident(self):
-        model, loss_fn, tx = self.model, self.loss, self.tx
-        heat_size = self.heat_size
-        corner_targets = self.profile.corner_targets
+        core = self._make_step_core()
         gather = self._resident_gather_fn()
 
         def step(params, batch_stats, opt_state, samples_all, locs_all,
                  counts_all, idx, key):
             samples, locs, counts = gather(samples_all, locs_all, counts_all,
                                            idx)
-            xs, ys = augment_and_render_batch(
-                key, samples, locs, counts, heat_size,
-                corner_targets=corner_targets,
-            )
-
-            def objective(p):
-                outs, mutated = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    xs, train=True, mutable=["batch_stats"],
-                )
-                loss, stats = loss_fn(as_stack_list(outs), ys)
-                return loss, (stats, mutated["batch_stats"])
-
-            (loss, (stats, new_bs)), grads = jax.value_and_grad(
-                objective, has_aux=True
-            )(params)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_bs, new_opt, loss, stats
+            return core(params, batch_stats, opt_state, samples, locs,
+                        counts, key)
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -482,6 +455,7 @@ class NetworkFactory:
         telemetry = StepTelemetry(telemetry_path)
         profiler = StepProfiler()
         t_start = time.perf_counter()
+        steps_this_run = 0
 
         # per-host shard of the epoch order (multi-host DP; single host
         # passes (1, 0) and sees the full order)
@@ -545,7 +519,11 @@ class NetworkFactory:
                 # queue (~2x slower end-to-end); everything is fetched in
                 # one bulk transfer at snapshot time
                 loss_rows.append([it, loss] + list(stats))
-                telemetry.record(it, {"ips": it / (time.perf_counter() - t_start)})
+                steps_this_run += 1
+                telemetry.record(
+                    it,
+                    {"ips": steps_this_run / (time.perf_counter() - t_start)},
+                )
 
                 if it % cfg.snapshotFrequency == 0:
                     cfg.update_iteration(it)

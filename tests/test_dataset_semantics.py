@@ -34,13 +34,16 @@ def test_partition_truncates(tmp_path):
 def test_device_shards_cover_rows(tmp_path):
     ds = _dataset(tmp_path, argument_ratio=4, partition=1.0,
                   train_subset="train4p100")
+    # 32 clips, 4 validation -> 28 training rows; 4 shards of 7
     rows, local_train = ds.device_shards(4)
-    assert len(rows) == 4 and all(len(r) == 8 for r in rows)
-    # local train indices point at training rows only
+    assert len(rows) == 4 and all(len(r) == 7 for r in rows)
+    # shards contain training rows ONLY (validation streams from host)
     train_set = set(ds.order)
+    validation = set(ds.data_profile["validation"])
     for shard_rows, local in zip(rows, local_train):
-        for li in local:
-            assert int(shard_rows[li]) in train_set
+        assert len(local) == len(shard_rows)
+        for r in shard_rows:
+            assert int(r) in train_set and int(r) not in validation
     # index batches are per-shard local and in range
     batches = list(ds.epoch_local_indices(8, 4, local_train))
     assert batches, "expected at least one resident batch"
