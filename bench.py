@@ -5,11 +5,12 @@ augmentation + Gaussian label rendering + ResNet-10 CenterNet-offset
 forward/backward + Adam update (the BASELINE.json "preprocess+train"
 metric).
 
-``vs_baseline`` is the ratio against the equivalent PyTorch-CPU pipeline
-(host-side numpy label stamping + torch train step on an
-architecture-equivalent ResNet-10), matching how the reference actually
-ran: host augmentation in Dataset.__getitem__ + torch forward/backward.
-The baseline number is cached in ``bench_baseline.json``; pass
+The headline ``value``/``vs_baseline`` pair is the SERVING path
+(normalize + forward + decode) against the torch-CPU inference baseline —
+matching BASELINE.json's "preprocess+infer" metric string. The north-star
+preprocess+train numbers ride along as ``train_clips_per_sec`` /
+``train_vs_baseline`` against the torch-CPU train baseline. Both torch
+baselines are cached in ``bench_baseline.json``; pass
 ``--refresh-baseline`` to re-measure.
 
 Prints ONE JSON line:
@@ -92,7 +93,7 @@ def bench_jax(batch: int, size: int, steps: int, warmup: int) -> float:
     counts = jnp.asarray(counts)
     key = jax.random.PRNGKey(1)
 
-    for i in range(warmup):
+    for i in range(max(warmup, 1)):
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, samples, locs, counts, sub
@@ -136,8 +137,7 @@ def bench_jax_infer(batch: int, size: int, steps: int, warmup: int) -> float:
         var = jnp.mean(jnp.square(raw - mean), axis=(1, 2, 3), keepdims=True)
         return wrapper((raw - mean) / jnp.sqrt(var))
 
-    out = None
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):
         out = infer(x0)
     float(out[0, 0, 0])
     t0 = time.perf_counter()
@@ -324,9 +324,9 @@ def main():
     train_baseline = cache["train_clips_per_sec"]
     infer_baseline = cache["infer_clips_per_sec"]
 
-    # headline matches BASELINE.json's metric string (preprocess+infer);
-    # the north-star preprocess+train rate rides along as extra fields,
-    # both normalized against the torch-CPU preprocess+train baseline
+    # headline matches BASELINE.json's metric string (preprocess+infer)
+    # against the torch-CPU INFERENCE baseline; the north-star
+    # preprocess+train rate rides along against the torch-CPU TRAIN baseline
     print(json.dumps({
         "metric": "512x512 clips/sec/chip (preprocess+infer)"
         if not args.quick else "128x128 clips/sec/chip (quick)",

@@ -19,6 +19,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <fcntl.h>
@@ -68,9 +69,13 @@ bool find_eocd(const uint8_t *map, size_t size, size_t *cd_offset,
 bool parse_central_directory(Archive *ar) {
   size_t cd_offset, cd_count;
   if (!find_eocd(ar->map, ar->size, &cd_offset, &cd_count)) return false;
+  if (cd_offset >= ar->size) return false;
   const uint8_t *p = ar->map + cd_offset;
+  const uint8_t *end = ar->map + ar->size;
   for (size_t i = 0; i < cd_count; i++) {
-    if (rd32(p) != 0x02014b50) return false;
+    // every field read below must stay inside the mapping — a corrupt
+    // archive returns false so the caller falls back to the Python reader
+    if (p + 46 > end || rd32(p) != 0x02014b50) return false;
     Entry e;
     e.method = rd16(p + 10);
     e.compressed_size = rd32(p + 20);
@@ -79,6 +84,8 @@ bool parse_central_directory(Archive *ar) {
     uint16_t extra_len = rd16(p + 30);
     uint16_t comment_len = rd16(p + 32);
     e.header_offset = rd32(p + 42);
+    if (p + 46 + name_len + extra_len + comment_len > end) return false;
+    if (e.header_offset + 30 > ar->size) return false;
     e.name.assign(reinterpret_cast<const char *>(p + 46), name_len);
     ar->entries.push_back(std::move(e));
     p += 46 + name_len + extra_len + comment_len;
@@ -88,11 +95,14 @@ bool parse_central_directory(Archive *ar) {
 
 // data offset: skip the local file header at entry.header_offset
 const uint8_t *entry_data(const Archive *ar, const Entry &e) {
+  if (e.header_offset + 30 > ar->size) return nullptr;
   const uint8_t *p = ar->map + e.header_offset;
   if (rd32(p) != 0x04034b50) return nullptr;
   uint16_t name_len = rd16(p + 26);
   uint16_t extra_len = rd16(p + 28);
-  return p + 30 + name_len + extra_len;
+  uint64_t data_off = e.header_offset + 30 + name_len + extra_len;
+  if (data_off + e.compressed_size > ar->size) return nullptr;
+  return ar->map + data_off;
 }
 
 bool inflate_entry(const Archive *ar, const Entry &e, uint8_t *out) {
@@ -216,11 +226,12 @@ int scdio_load_dataset(void *handle, const char *names, int64_t count,
                        float *locs_out, int32_t *counts_out, int threads) {
   Archive *ar = static_cast<Archive *>(handle);
 
-  // index entries by name for O(1) lookup
-  std::vector<const char *> name_list(count);
+  // hash-index the requested names for O(entries + count) matching
+  std::unordered_map<std::string, int64_t> name_index;
+  name_index.reserve(count * 2);
   const char *cursor = names;
   for (int64_t i = 0; i < count; i++) {
-    name_list[i] = cursor;
+    name_index.emplace(cursor, i);
     cursor += strlen(cursor) + 1;
   }
 
@@ -230,13 +241,9 @@ int scdio_load_dataset(void *handle, const char *names, int64_t count,
     bool is_sample = e.name.rfind("samples/", 0) == 0;
     bool is_loc = e.name.rfind("locs/", 0) == 0;
     if (!is_sample && !is_loc) continue;
-    const char *suffix = e.name.c_str() + (is_sample ? 8 : 5);
-    for (int64_t i = 0; i < count; i++) {
-      if (strcmp(suffix, name_list[i]) == 0) {
-        (is_sample ? sample_entries : loc_entries)[i] = &e;
-        break;
-      }
-    }
+    auto it = name_index.find(e.name.substr(is_sample ? 8 : 5));
+    if (it != name_index.end())
+      (is_sample ? sample_entries : loc_entries)[it->second] = &e;
   }
 
   std::vector<int> errors(count, 0);
@@ -276,8 +283,10 @@ int scdio_load_dataset(void *handle, const char *names, int64_t count,
         k = shape[0] < maxtag ? shape[0] : maxtag;
         copy_npy_floats(data, is_f8, k * 8, locs_out + i * maxtag * 8);
       } else if (data && ndim == 1 && shape[0] == 0) {
-        k = 0;  // empty clip
-      } else if (!data || ndim > 2) {
+        k = 0;  // empty clip saved as a 1-D empty array
+      } else {
+        // anything else (wrong column count, >2 dims, parse failure) is an
+        // error — silently dropping labels would corrupt training
         errors[i] = 5;
         continue;
       }

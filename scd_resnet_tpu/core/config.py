@@ -216,6 +216,11 @@ class Configuration:
     def dirDataSplitProfile(self) -> str:
         return self._fmt("dirDataSplitProfile")
 
+    def useGPU(self):
+        """Reference-compatible accessor (configuration.py:147-148 defines
+        this as a method, shadowing the config key)."""
+        return self.config["useGPU"]
+
 
 # Global default instance, matching the reference's module-level singleton
 # (configuration.py:161). Entry points merge the experiment JSON into it.

@@ -79,14 +79,15 @@ def tile_slide(gray: np.ndarray) -> Tuple[np.ndarray, int, int, int, int]:
 
 
 def analyse_images(model: Callable, full_path: str,
-                   dedupe_radius: Optional[float] = None) -> List[List[float]]:
+                   dedupe_radius: Optional[float] = None,
+                   batch_size: int = BATCH_SIZE) -> List[List[float]]:
     """Detections ``[slide_x, slide_y, Rhr]`` for one slide image.
 
     ``model`` maps a (B, 512, 512, 1) float batch to the (10, B, K) stacked
     decode rows (infer/wrapper.py)."""
     rgb = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(full_path))
     gray = grayscale_inference(rgb)
-    return analyse_grayscale(model, gray, dedupe_radius)
+    return analyse_grayscale(model, gray, dedupe_radius, batch_size)
 
 
 def dedupe_detections(detections: List[List[float]],
@@ -110,19 +111,21 @@ def dedupe_detections(detections: List[List[float]],
 
 
 def analyse_grayscale(model: Callable, gray: np.ndarray,
-                      dedupe_radius: Optional[float] = None
-                      ) -> List[List[float]]:
+                      dedupe_radius: Optional[float] = None,
+                      batch_size: int = BATCH_SIZE) -> List[List[float]]:
+    """``batch_size`` must match the model's compiled batch (jax.export
+    bundles are shape-specialized; test.py passes the traced shape)."""
     clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
     stride = INPUT_SIZE - 2 * PADDING_SIZE
 
     results = []
     n = len(clips)
-    for start in range(0, n, BATCH_SIZE):
-        batch = clips[start : start + BATCH_SIZE]
+    for start in range(0, n, batch_size):
+        batch = clips[start : start + batch_size]
         valid = len(batch)
-        if valid < BATCH_SIZE:  # pad to the compiled shape
+        if valid < batch_size:  # pad to the compiled shape
             batch = np.concatenate(
-                [batch, np.zeros((BATCH_SIZE - valid, INPUT_SIZE, INPUT_SIZE),
+                [batch, np.zeros((batch_size - valid, INPUT_SIZE, INPUT_SIZE),
                                  np.float32)]
             )
         rows = np.asarray(model(batch[..., None]))

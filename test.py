@@ -66,7 +66,8 @@ def main():
 
     register = []
     for path in args.images:
-        detections = analyse_images(model, path, dedupe_radius=args.dedupe)
+        detections = analyse_images(model, path, dedupe_radius=args.dedupe,
+                                    batch_size=input_shape[0])
         Logger.log("{}: {} detections".format(path, len(detections)))
         for det in detections:
             register.append({"image": path, "x": det[0], "y": det[1],

@@ -27,10 +27,11 @@ def parse_arguments():
     parser.add_argument("output", type=str,
                         help="output .pt file (serialized StableHLO bundle)")
     parser.add_argument("-a", dest="modelArchitecture", type=str,
+                        required=True,
                         help="architecture/profile name, e.g. centerOffsetRes10")
-    parser.add_argument("-m", dest="model", type=str,
+    parser.add_argument("-m", dest="model", type=str, required=True,
                         help="path to the trained checkpoint (.pth)")
-    parser.add_argument("-s", dest="inputShape", type=str,
+    parser.add_argument("-s", dest="inputShape", type=str, required=True,
                         help="input tensor shape, NCHW space-separated, "
                         "e.g. '24 1 512 512'")
     parser.add_argument("-gpu", dest="useGPU", const=True, default=False,
