@@ -34,3 +34,20 @@ def test_gather_batch_matches_numpy(archive):
     idx = np.array([3, 0, 7, 2], np.int64)
     got = gather_batch(samples, idx)
     np.testing.assert_array_equal(got, samples[idx])
+
+
+def test_corrupt_archive_falls_back(tmp_path):
+    # garbage bytes with a plausible size: the native reader must return
+    # None (triggering the Python fallback), not crash
+    bad = tmp_path / "bad.d"
+    bad.write_bytes(b"\x00" * 4096)
+    assert read_archive_native(str(bad)) is None
+
+    # truncated real archive: valid EOCD magic may survive in the tail of
+    # a half-written file; reader must still reject cleanly
+    good = tmp_path / "good.d"
+    make_archive(str(good), num_images=1, reps=1, clips_per_image=2, size=64)
+    data = good.read_bytes()
+    trunc = tmp_path / "trunc.d"
+    trunc.write_bytes(data[: len(data) // 3] + data[-100:])
+    assert read_archive_native(str(trunc)) is None
