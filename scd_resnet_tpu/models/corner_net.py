@@ -118,7 +118,15 @@ class _CornerHead(nn.Module):
 
 class CornerNetCPoolResidual(nn.Module):
     """Corner detector with real corner pooling on the tl/br heads
-    (cornerNetCPool.py:220-236)."""
+    (cornerNetCPool.py:220-236).
+
+    Training note (observed, reproduced on CPU and TPU with both pool
+    implementations): with the reference's head composition — plain center
+    terminal next to CornerPool-prologue tl/br heads on a shared trunk —
+    the corner heads learn quickly but the center heatmap head converges
+    far slower than in CornerNetResidual (the reference never trained this
+    model; it was unimportable as committed). Budget extra iterations or a
+    separate LR for the center head when using this family."""
 
     num_layers: int = 10
     dims: Sequence[int] = DEFAULT_DIMENSIONS

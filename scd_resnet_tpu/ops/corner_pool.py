@@ -66,8 +66,12 @@ def _scatter_add_along_axis(template, idx, updates, axis: int):
 def _forward_impl(x, axis: int, reverse: bool):
     """Forward dispatch: the hand-scheduled Pallas running-max kernel on
     TPU (measured ~1.4x faster than the cummax lowering at production
-    shapes), lax.cummax elsewhere."""
-    if jax.default_backend() == "tpu" and x.ndim == 4:
+    shapes), lax.cummax elsewhere. SCD_DISABLE_PALLAS_POOL=1 forces the
+    cummax path everywhere (debug/ablation switch)."""
+    import os
+
+    if (jax.default_backend() == "tpu" and x.ndim == 4
+            and not os.environ.get("SCD_DISABLE_PALLAS_POOL")):
         from scd_resnet_tpu.ops.pallas_kernels import corner_pool_pallas
 
         return corner_pool_pallas(x, axis, reverse)
