@@ -62,6 +62,9 @@ _DEFAULTS: Dict[str, Any] = {
     "precision": "float32",
     # dataset placement — "auto" | "device" (HBM-resident shards) | "host"
     "residency": "auto",
+    # HBM budget per device for the resident dataset (training + validation
+    # clips), leaving the rest for parameters/activations; v5e has 16 GB
+    "residencyBudgetGB": 8.0,
     # in-memory/HBM clip storage — "float32" | "float16" | "uint8"
     "storageDtype": "float16",
     # rematerialize activations in the backward pass (memory for FLOPs)

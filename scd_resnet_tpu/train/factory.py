@@ -164,6 +164,7 @@ class NetworkFactory:
 
         self._train_step = self._build_train_step()
         self._validate_step = self._build_validate_step()
+        self._validate_step_unsharded = self._build_validate_step_unsharded()
         self._augment = self._build_augment()
         self._rng = jax.random.PRNGKey(seed + 1)
         self._setup_residency()
@@ -228,7 +229,7 @@ class NetworkFactory:
             donate_argnums=(0, 1, 2),
         )
 
-    def _build_validate_step(self):
+    def _make_validate_core(self):
         model, decode, evaluation = self.model, self.decode, self.evaluation
 
         def step(params, batch_stats, xs, ys):
@@ -239,7 +240,22 @@ class NetworkFactory:
             decoded = decode(as_stack_list(outs)[-1])
             return evaluation([xs], ys, *decoded)
 
-        return jax.jit(step)
+        return step
+
+    def _build_validate_step(self):
+        # explicit batch shardings so validation compute runs data-parallel
+        # over the mesh like training (not pinned to device 0); the
+        # ``_batch_shard`` entries are pytree prefixes covering xs and every
+        # leading-batch array inside ys
+        return jax.jit(
+            self._make_validate_core(),
+            in_shardings=(self._replicated, self._replicated,
+                          self._batch_shard, self._batch_shard),
+        )
+
+    def _build_validate_step_unsharded(self):
+        # fallback for validation batches that don't divide the data axis
+        return jax.jit(self._make_validate_core())
 
     def _build_augment(self):
         heat_size = self.heat_size
@@ -268,21 +284,25 @@ class NetworkFactory:
         """
         cfg = self.config
         self.resident = False
+        self.val_resident = False
         mode = cfg.config.get("residency", "auto")
         if mode == "host" or jax.process_count() > 1:
             return
         storage = cfg.config.get("storageDtype", "float16")
         n_dev = self.mesh.devices.size
         itemsize = {"float32": 4, "float16": 2, "uint8": 1}[storage]
-        # only training rows are uploaded; validation streams from host
         clip_elems = int(np.prod(self.dataset.samples.shape[1:]))
-        total_bytes = len(self.dataset.order) * clip_elems * itemsize
-        budget = 4 * 1024**3 * n_dev  # leave HBM room for activations
-        if mode == "auto" and total_bytes > budget:
+        val_ids = np.asarray(self.dataset.data_profile["validation"], np.int64)
+        train_bytes = len(self.dataset.order) * clip_elems * itemsize
+        val_bytes = len(val_ids) * clip_elems * itemsize
+        budget = (
+            float(cfg.config.get("residencyBudgetGB", 8.0)) * 1024**3 * n_dev
+        )  # leave HBM room for parameters/activations
+        if mode == "auto" and train_bytes > budget:
             Logger.warn(
                 ":: factory :: dataset ({:.1f} GB as {}) exceeds the "
                 "residency budget; streaming batches from host".format(
-                    total_bytes / 1024**3, storage
+                    train_bytes / 1024**3, storage
                 )
             )
             return
@@ -294,19 +314,22 @@ class NetworkFactory:
             Logger.warn(":: factory :: too few training rows per device "
                         "shard; streaming from host")
             return
+        def as_storage(samples):
+            if storage == "uint8" and samples.dtype != np.uint8:
+                return np.clip(np.rint(samples), 0, 255).astype(np.uint8)
+            if storage == "float16" and samples.dtype != np.float16:
+                return samples.astype(np.float16)
+            return samples
+
         order = np.concatenate(rows)
-        samples = self.dataset.samples[order]
-        if storage == "uint8" and samples.dtype != np.uint8:
-            samples = np.clip(np.rint(samples), 0, 255).astype(np.uint8)
-        elif storage == "float16" and samples.dtype != np.float16:
-            samples = samples.astype(np.float16)
         Logger.log(
             "Uploading device-resident dataset: {} clips, {:.2f} GB as {} "
             "over {} device(s)".format(
-                len(order), total_bytes / 1024**3, storage, n_dev
+                len(order), train_bytes / 1024**3, storage, n_dev
             )
         )
-        self._ds_samples = jax.device_put(samples, self._batch_shard)
+        self._ds_samples = jax.device_put(
+            as_storage(self.dataset.samples[order]), self._batch_shard)
         self._ds_locs = jax.device_put(
             self.dataset.locs[order], self._batch_shard)
         self._ds_counts = jax.device_put(
@@ -316,6 +339,40 @@ class NetworkFactory:
         self._train_step_resident = self._build_train_step_resident()
         self._gather_resident = self._build_gather_resident()
         self.resident = True
+
+        # ---- validation residency (scdx16p100.py:199-286 keeps the
+        # validation set on device; round-1 streamed it from host, costing
+        # minutes of pure transfer per [It] pass over the 42 MB/s tunnel).
+        # Raw clips+locs are uploaded (cheaper than the pre-rendered
+        # heatmaps) and labels re-render on device inside the jitted
+        # validate step.
+        vbs = cfg.validationBatchSize
+        if (
+            len(val_ids) >= vbs > 0
+            and len(val_ids) % n_dev == 0
+            and vbs % n_dev == 0
+            and (mode == "device" or train_bytes + val_bytes <= budget)
+        ):
+            self._val_samples = jax.device_put(
+                as_storage(self.dataset.samples[val_ids]), self._batch_shard)
+            self._val_locs = jax.device_put(
+                self.dataset.locs[val_ids].astype(np.float32),
+                self._batch_shard)
+            self._val_counts = jax.device_put(
+                self.dataset.counts[val_ids], self._batch_shard)
+            self._val_total = len(val_ids)
+            self._validate_step_resident = self._build_validate_step_resident()
+            self.val_resident = True
+            Logger.log(
+                "Validation set device-resident: {} clips, {:.2f} GB as "
+                "{}".format(len(val_ids), val_bytes / 1024**3, storage)
+            )
+        elif len(val_ids) > 0:
+            Logger.warn(
+                ":: factory :: validation set not device-resident "
+                "({} clips, vbs {}, {} device(s)); streaming from "
+                "host".format(len(val_ids), vbs, n_dev)
+            )
 
     def _resident_gather_fn(self):
         from jax.sharding import PartitionSpec as P
@@ -350,6 +407,62 @@ class NetworkFactory:
     def _build_gather_resident(self):
         gather = self._resident_gather_fn()
         return jax.jit(gather)
+
+    def _build_validate_step_resident(self):
+        """Validation over the HBM-resident clips: gather a per-device chunk
+        by local index, re-render the (deterministic, augment-free) labels on
+        device, forward + decode + metric battery — zero host→device clip
+        traffic per [It] pass."""
+        core = self._make_validate_core()
+        gather = self._resident_gather_fn()
+        heat_size = self.heat_size
+        corner_targets = self.profile.corner_targets
+
+        def step(params, batch_stats, samples_all, locs_all, counts_all, idx):
+            samples, locs, counts = gather(samples_all, locs_all, counts_all,
+                                           idx)
+            xs, ys = augment_and_render_batch(
+                jax.random.PRNGKey(0), samples, locs, counts, heat_size,
+                augment=False, corner_targets=corner_targets,
+            )
+            if not corner_targets:
+                # center-family validation layout: float loc records + object
+                # counts for the [It] metric path (data/dataset.py packing,
+                # mirroring scdx16p100.py:404-414)
+                ys = [ys[0], ys[1], ys[2], locs, counts, ys[3]]
+            return core(params, batch_stats, xs, ys)
+
+        return jax.jit(
+            step,
+            in_shardings=(self._replicated, self._replicated)
+            + (self._batch_shard,) * 4,
+        )
+
+    def _validation_index_batches(self, validation_batch_size: int):
+        """Per-device LOCAL index chunks over the resident validation shard,
+        device-major, batch size ``validation_batch_size`` globally."""
+        per_dev = validation_batch_size // self._n_dev
+        per_dev_total = self._val_total // self._n_dev
+        for b in range(per_dev_total // per_dev):
+            base = np.arange(b * per_dev, (b + 1) * per_dev, dtype=np.int32)
+            yield np.tile(base, self._n_dev)
+
+    def validate_resident_set(self) -> List[Dict[str, Any]]:
+        """Full [It] pass over the device-resident validation set."""
+        out = []
+        for idx in self._validation_index_batches(
+            self.config.validationBatchSize
+        ):
+            idx = jax.device_put(idx, self._batch_shard)
+            out.append(
+                jax.device_get(
+                    self._validate_step_resident(
+                        self.params, self.batch_stats, self._val_samples,
+                        self._val_locs, self._val_counts, idx,
+                    )
+                )
+            )
+        return out
 
     def train_resident(self, idx: np.ndarray) -> Tuple[Any, List[Any]]:
         self._rng, key = jax.random.split(self._rng)
@@ -415,7 +528,13 @@ class NetworkFactory:
         return loss, stats
 
     def validate(self, xs, ys) -> Dict[str, Any]:
-        return self._validate_step(self.params, self.batch_stats, xs[0], ys)
+        # mesh-sharded when the batch divides the data axis; a small
+        # remainder batch (tiny test datasets) falls back to single-device
+        if int(np.shape(xs[0])[0]) % self.mesh.shape["data"] == 0:
+            return self._validate_step(self.params, self.batch_stats, xs[0], ys)
+        return self._validate_step_unsharded(
+            self.params, self.batch_stats, xs[0], ys
+        )
 
     def validate_train_batch(self) -> Dict[str, Any]:
         """[Tr] line: rebuild the last augmented batch (same key) and run the
@@ -489,13 +608,16 @@ class NetworkFactory:
                 if it % cfg.validationFrequency == 0:
                     tr_line = "[Tr] {}:     ".format(format(it, "7d")) + \
                         self.expression([jax.device_get(self.validate_train_batch())])
-                    batches = [
-                        jax.device_get(self.validate(item["xs"], item["ys"]))
-                        for item in self.dataset.get_validation_set(
-                            cfg.validationBatchSize,
-                            corner_targets=self.profile.corner_targets,
-                        )
-                    ]
+                    if self.val_resident:
+                        batches = self.validate_resident_set()
+                    else:
+                        batches = [
+                            jax.device_get(self.validate(item["xs"], item["ys"]))
+                            for item in self.dataset.get_validation_set(
+                                cfg.validationBatchSize,
+                                corner_targets=self.profile.corner_targets,
+                            )
+                        ]
                     it_line = "[It] {}:     ".format(format(it, "7d")) + \
                         self.expression(batches)
                     eval_lines.append(tr_line + "\n" + it_line + "\n")

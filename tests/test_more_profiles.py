@@ -37,6 +37,13 @@ def test_center_size_profile_trains(tmp_path):
     dataset = SCDDataset(archive, None, argument_ratio=16, partition=1.0,
                          train_subset="train16p100", test_set=4)
     factory = NetworkFactory(cfg, dataset=dataset)
+    # validation set is HBM-resident and sharded over the data axis
+    # (VERDICT r1: round-1 streamed every [It] batch from host)
+    from jax.sharding import PartitionSpec as P
+
+    assert factory.val_resident
+    assert factory._val_samples.sharding.spec == P("data")
+    assert factory._val_locs.sharding.spec == P("data")
     factory.begin_training()
     evals = open(str(tmp_path / "results" / "evals.size-smoke.txt")).read()
     assert "[mIoU]" in evals and "[AP75]" in evals
