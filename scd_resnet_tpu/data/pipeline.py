@@ -22,23 +22,10 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
+from scd_resnet_tpu.ops.augment import flip_locs_horizontal, flip_locs_vertical
 from scd_resnet_tpu.ops.gaussian import render_heatmap
 
 THRESHOLD_IOU = 0.5  # scdx16p100.py:52
-
-
-def _flip_locs_x(locs, heat_size):
-    out = locs.at[:, :, 0].set(heat_size - 1 - locs[:, :, 0])
-    out = out.at[:, :, 2].set(-locs[:, :, 2])  # offset x
-    out = out.at[:, :, 4].set(-locs[:, :, 4])  # major axis x
-    return out
-
-
-def _flip_locs_y(locs, heat_size):
-    out = locs.at[:, :, 1].set(heat_size - 1 - locs[:, :, 1])
-    out = out.at[:, :, 3].set(-locs[:, :, 3])  # offset y
-    out = out.at[:, :, 5].set(-locs[:, :, 5])  # major axis y
-    return out
 
 
 @partial(jax.jit, static_argnames=("heat_size", "augment", "corner_targets"))
@@ -78,8 +65,10 @@ def augment_and_render_batch(key, samples, locs, counts, heat_size: int,
                             jnp.flip(samples, axis=2), samples)
         samples = jnp.where(flip_v[:, None, None],
                             jnp.flip(samples, axis=1), samples)
-        locs = jnp.where(flip_h[:, None, None], _flip_locs_x(locs, heat_size), locs)
-        locs = jnp.where(flip_v[:, None, None], _flip_locs_y(locs, heat_size), locs)
+        locs = jnp.where(flip_h[:, None, None],
+                         flip_locs_horizontal(locs, heat_size), locs)
+        locs = jnp.where(flip_v[:, None, None],
+                         flip_locs_vertical(locs, heat_size), locs)
 
     # per-image standardization (argumentations.py:40-44)
     mean = samples.mean(axis=(1, 2), keepdims=True)
