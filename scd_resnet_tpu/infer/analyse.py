@@ -110,35 +110,25 @@ def dedupe_detections(detections: List[List[float]],
     return kept
 
 
-def analyse_grayscale(model: Callable, gray: np.ndarray,
-                      dedupe_radius: Optional[float] = None,
-                      batch_size: int = BATCH_SIZE) -> List[List[float]]:
-    """``batch_size`` must match the model's compiled batch (jax.export
-    bundles are shape-specialized; test.py passes the traced shape)."""
-    clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
-    stride = INPUT_SIZE - 2 * PADDING_SIZE
-
+def _threshold_rows(rows: np.ndarray, valid: int) -> List[List[np.ndarray]]:
+    """Per-clip score-thresholded decode fields from (10, B, K) rows."""
+    (scores, _inds, ct_y, ct_x, maj_x, maj_y, min_l, rad,
+     off_x, off_y) = rows
     results = []
-    n = len(clips)
-    for start in range(0, n, batch_size):
-        batch = clips[start : start + batch_size]
-        valid = len(batch)
-        if valid < batch_size:  # pad to the compiled shape
-            batch = np.concatenate(
-                [batch, np.zeros((batch_size - valid, INPUT_SIZE, INPUT_SIZE),
-                                 np.float32)]
-            )
-        rows = np.asarray(model(batch[..., None]))
-        (scores, _inds, ct_y, ct_x, maj_x, maj_y, min_l, rad,
-         off_x, off_y) = rows
-        for item in range(valid):
-            keep = scores[item] > SCORE_THRESHOLD
-            results.append(
-                [ct_x[item][keep], ct_y[item][keep], off_x[item][keep],
-                 off_y[item][keep], maj_x[item][keep], maj_y[item][keep],
-                 min_l[item][keep], rad[item][keep]]
-            )
+    for item in range(valid):
+        keep = scores[item] > SCORE_THRESHOLD
+        results.append(
+            [ct_x[item][keep], ct_y[item][keep], off_x[item][keep],
+             off_y[item][keep], maj_x[item][keep], maj_y[item][keep],
+             min_l[item][keep], rad[item][keep]]
+        )
+    return results
 
+
+def _stitch(results: List[List[np.ndarray]], clip_h: int, clip_v: int,
+            pad_lr: int, pad_tb: int) -> List[List[float]]:
+    """Clip -> slide coordinate stitch + Rhr (test.py:117-141)."""
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
     detections: List[List[float]] = []
     idx = 0
     for x in range(clip_h):
@@ -159,9 +149,116 @@ def analyse_grayscale(model: Callable, gray: np.ndarray,
                     ]
                 )
             idx += 1
+    return detections
+
+
+def analyse_grayscale(model: Callable, gray: np.ndarray,
+                      dedupe_radius: Optional[float] = None,
+                      batch_size: int = BATCH_SIZE) -> List[List[float]]:
+    """``batch_size`` must match the model's compiled batch (jax.export
+    bundles are shape-specialized; test.py passes the traced shape)."""
+    clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
+
+    results = []
+    n = len(clips)
+    for start in range(0, n, batch_size):
+        batch = clips[start : start + batch_size]
+        valid = len(batch)
+        if valid < batch_size:  # pad to the compiled shape
+            batch = np.concatenate(
+                [batch, np.zeros((batch_size - valid, INPUT_SIZE, INPUT_SIZE),
+                                 np.float32)]
+            )
+        rows = np.asarray(model(batch[..., None]))
+        results.extend(_threshold_rows(rows, valid))
+
+    detections = _stitch(results, clip_h, clip_v, pad_lr, pad_tb)
     if dedupe_radius is not None:
         detections = dedupe_detections(detections, dedupe_radius)
     return detections
+
+
+def slide_geometry(width: int, height: int) -> Tuple[int, int, int, int]:
+    """(clip_h, clip_v, pad_lr, pad_tb) for a width x height slide — the
+    same arithmetic as :func:`tile_slide` (test.py:48-65)."""
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    clip_h = math.ceil((width - 2 * PADDING_SIZE) / stride)
+    clip_v = math.ceil((height - 2 * PADDING_SIZE) / stride)
+    resize_w = stride * clip_h + 2 * PADDING_SIZE
+    resize_h = stride * clip_v + 2 * PADDING_SIZE
+    if (resize_w - width) % 2 != 0:
+        resize_w += 1
+    if (resize_h - height) % 2 != 0:
+        resize_h += 1
+    return clip_h, clip_v, (resize_w - width) // 2, (resize_h - height) // 2
+
+
+def make_device_tiler(width: int, height: int) -> Callable:
+    """Jitted (H, W) grayscale -> (N, 512, 512) normalized clips, the
+    on-device equivalent of :func:`tile_slide`: reflect101 pad on y,
+    symmetric on x (ops/image.pad_reflect_hybrid), overlap tiling x-major,
+    per-clip standardization."""
+    import jax
+    import jax.numpy as jnp
+
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    clip_h, clip_v, pad_lr, pad_tb = slide_geometry(width, height)
+
+    @jax.jit
+    def tiler(gray_u8):
+        gray = jnp.asarray(gray_u8, jnp.float32)
+        padded = jnp.pad(gray, ((pad_tb, pad_tb), (0, 0)), mode="reflect")
+        padded = jnp.pad(padded, ((0, 0), (pad_lr, pad_lr)), mode="symmetric")
+        clips = jnp.stack([
+            jax.lax.dynamic_slice(
+                padded, (y * stride, x * stride), (INPUT_SIZE, INPUT_SIZE)
+            )
+            for x in range(clip_h) for y in range(clip_v)
+        ])
+        mean = clips.mean(axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(clips - mean), axis=(1, 2), keepdims=True)
+        return (clips - mean) / jnp.sqrt(var)
+
+    return tiler
+
+
+def make_device_analyzer(wrapper: Callable, width: int, height: int,
+                         dedupe_radius: Optional[float] = None) -> Callable:
+    """Slide analyzer with the tiling fused ON DEVICE.
+
+    The host-tiled path ships every overlapping 512x512 clip as float32 —
+    ~8x the slide's own bytes (the 2x64 px shared margins duplicate
+    pixels, and float32 quadruples uint8). Here the uint8 grayscale slide
+    uploads ONCE; reflect-pad (symmetric x / reflect101 y, matching
+    ops/image.pad_reflect_hybrid), overlap tiling, per-clip
+    standardization, forward, and NMS/top-K decode all run in one jitted
+    program, and only the (10, N, K) decode rows come back. Geometry is
+    shape-specialized per (width, height) like the traced model itself.
+
+    Returns ``analyse(gray) -> [[x, y, Rhr], ...]``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    clip_h, clip_v, pad_lr, pad_tb = slide_geometry(width, height)
+    tiler = make_device_tiler(width, height)
+
+    @jax.jit
+    def device_rows(gray_u8):
+        return wrapper(tiler(gray_u8)[..., None])
+
+    def analyse(gray: np.ndarray) -> List[List[float]]:
+        # uint8 upload: grayscale_inference output is already rounded to
+        # [0, 255], so the cast is exact and 4x smaller on the wire
+        rows = np.asarray(device_rows(jnp.asarray(gray, jnp.uint8)))
+        results = _threshold_rows(rows, clip_h * clip_v)
+        # _stitch walks x-major then y — match the clip stacking order above
+        detections = _stitch(results, clip_h, clip_v, pad_lr, pad_tb)
+        if dedupe_radius is not None:
+            detections = dedupe_detections(detections, dedupe_radius)
+        return detections
+
+    return analyse
 
 
 def rhr_histogram(rhrs: Sequence[float]) -> Tuple[np.ndarray, np.ndarray]:

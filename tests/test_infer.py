@@ -116,3 +116,53 @@ def test_rhr_histogram_and_fit():
     # fit reproduces the histogram
     resid = np.abs(gauss2(xs, *popt) - ys).max()
     assert resid < 0.02
+
+
+def test_device_tiler_matches_host_tiling():
+    """The on-device pad/tile/normalize program must reproduce the host
+    tile_slide clips bit-near-exactly (uint8 grayscale input is exact)."""
+    from scd_resnet_tpu.infer.analyse import make_device_tiler, slide_geometry
+
+    rng = np.random.default_rng(5)
+    gray = np.round(rng.uniform(0, 255, (600, 900))).astype(np.float32)
+
+    host_clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
+    assert slide_geometry(900, 600) == (clip_h, clip_v, pad_lr, pad_tb)
+
+    device_clips = np.asarray(make_device_tiler(900, 600)(
+        gray.astype(np.uint8)))
+    assert device_clips.shape == host_clips.shape
+    np.testing.assert_allclose(device_clips, host_clips, atol=1e-4)
+
+
+def test_device_analyzer_matches_host_stitch():
+    """make_device_analyzer must stitch identically to analyse_grayscale
+    when both see the same decode rows."""
+    from scd_resnet_tpu.infer.analyse import make_device_analyzer
+
+    gray = np.zeros((600, 900), np.float32)
+    k = 100
+
+    def fake_rows(batch):
+        import numpy as _np
+
+        b = batch.shape[0]
+        rows = _np.zeros((10, b, k), _np.float32)
+        rows[0, :, 0] = 0.9
+        rows[2, :, 0] = 10.0
+        rows[3, :, 0] = 20.0
+        rows[6, :, 0] = 2.0
+        rows[7, :, 0] = 6.0
+        rows[8, :, 0] = 1.5
+        rows[9, :, 0] = -0.5
+        return rows
+
+    host_dets = analyse_grayscale(fake_rows, gray)
+
+    import jax.numpy as jnp
+
+    def wrapper(clips_nhwc):
+        return jnp.asarray(fake_rows(clips_nhwc))
+
+    device_dets = make_device_analyzer(wrapper, 900, 600)(gray)
+    assert device_dets == host_dets
