@@ -67,12 +67,16 @@ class CenterNetResidual(nn.Module):
     # 'bfloat16' runs the conv path at the MXU's native precision;
     # parameters, BN statistics, and the loss stay float32
     compute_dtype: str = "float32"
+    # DCNv2 deformable prologue before the first deconv stage
+    # (CenterNet-DCN upsampling; the reference's dcn_v2.py capability)
+    dcn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         return ResNetBackbone(
             self.num_layers, _terminals(self.terminal_hidden),
             tuple(self.dims), dtype=jnp.dtype(self.compute_dtype),
+            deconv_dcn=self.dcn,
         )(x, train)
 
 

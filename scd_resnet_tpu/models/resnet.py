@@ -178,6 +178,11 @@ class ResNetBackbone(nn.Module):
     terminals: Sequence[TerminalSpec]
     dimensions: Sequence[int] = DEFAULT_DIMENSIONS
     dtype: Any = jnp.float32
+    # insert a modulated deformable conv (DCNv2) + BN + ReLU prologue before
+    # the first deconv stage — the CenterNet-DCN upsampling pattern, wired
+    # to the reference's dormant dcn_v2.py capability (imported by nothing
+    # there; a trainable profile here)
+    deconv_dcn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -204,6 +209,15 @@ class ResNetBackbone(nn.Module):
 
         # three 2x transposed-conv stages (residuals.py:224-228, 286-310):
         # kernel 4, stride 2, no bias, N(0, 0.001) init, BN + ReLU
+        if self.deconv_dcn:
+            from scd_resnet_tpu.models.deformable import DCN
+
+            # same-width deformable prologue at the coarsest (S/32) map,
+            # where the bilinear-gather cost is smallest; zero-initialized
+            # offsets make it a plain conv at step 0
+            x = DCN(x.shape[-1], name="deconv_dcn")(x.astype(jnp.float32))
+            x = BatchNorm()(x, train)
+            x = nn.relu(x).astype(self.dtype)
         for features in dims[5:8]:
             x = nn.ConvTranspose(
                 features,
