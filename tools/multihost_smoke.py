@@ -10,10 +10,11 @@ Usage (run both, e.g. from two shells or backgrounded):
 Both ranks must print the same loss."""
 import os, sys
 proc_id = int(sys.argv[1])
+port = os.environ.get("SCD_MULTIHOST_PORT", "12355")
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address="localhost:12355",
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=proc_id)
 print(f"proc {proc_id}: global devices {len(jax.devices())}, local {len(jax.local_devices())}", flush=True)
 
