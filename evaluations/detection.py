@@ -3,6 +3,7 @@ batched detection metrics (vectorized, mask-returning) and AP machinery."""
 
 from scd_resnet_tpu.evaluations.detection import (
     ap_all as apAll,
+    ap_plots as apPlots,
     average_precision_all as averagePrecisionAll,
     average_precision_plots as averagePrecisionPlots,
     iou as IoU,
@@ -12,4 +13,5 @@ from scd_resnet_tpu.evaluations.detection import (
 )
 
 __all__ = ["IoU", "IoUConfidence", "MAE", "Orthogonity",
-           "averagePrecisionPlots", "averagePrecisionAll", "apAll"]
+           "averagePrecisionPlots", "averagePrecisionAll", "apAll",
+           "apPlots"]

@@ -158,7 +158,15 @@ def generate_archive(settings: Dict, image_file_names: List[str],
         pad_width = width + margin[0] + margin[2]
         pad_height = height + margin[1] + margin[3]
         if pad_width % dest != 0 or pad_height % dest != 0:
-            Logger.err("padding cannot fit the destination size")
+            # hard failure: proceeding would silently truncate the tile grid
+            # (pad // dest) and drop image content; the reference at least
+            # exited on geometry misfits (SURVEY.md §5 failure handling)
+            raise ValueError(
+                "padding cannot fit the destination size: image {}x{} + "
+                "margins {} gives {}x{}, not a multiple of {}".format(
+                    width, height, list(margin), pad_width, pad_height, dest
+                )
+            )
 
         locations = decode_annotations(settings["annotation"], image_file)
         if locations is None:

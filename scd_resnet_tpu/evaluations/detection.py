@@ -137,3 +137,9 @@ def ap_all(ious: np.ndarray, scores: np.ndarray, obj_num: float,
     return average_precision_all(
         average_precision_plots(ious, scores, obj_num, threshold)
     )
+
+
+def ap_plots(ious: np.ndarray, scores: np.ndarray, obj_num: float,
+             threshold: float) -> List[Tuple[float, float]]:
+    """The recall/precision plot list itself (detection.py:264-267)."""
+    return average_precision_plots(ious, scores, obj_num, threshold)

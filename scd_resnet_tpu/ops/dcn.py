@@ -215,8 +215,5 @@ def deform_psroi_pooling(x, rois, trans, *, output_dim: int, group_size: int,
     return jax.vmap(pool_one)(batch_idx, sy_c, sx_c, inside)
 
 
-class DeformConv:
-    """Module-style DCN wrapper is provided in
-    :mod:`scd_resnet_tpu.models.deformable` (flax); this alias exists for
-    discoverability."""
+# Module-style DCN wrappers live in scd_resnet_tpu.models.deformable (flax).
 

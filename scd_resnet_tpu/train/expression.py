@@ -101,8 +101,8 @@ def aggregate_corner_net(batches: List[Dict]) -> Dict[str, float]:
 def expression_corner_net(batches: List[Dict]) -> str:
     e = aggregate_corner_net(batches)
     return (
-        "[heatAP50] {}    [heatAP75] {}    [tlAP50] {}    [tlAP75] {}    "
-        "[brAP50] {}    [brAP75] {}".format(
+        "[heatPeakAP50] {}    [heatPeakAP75] {}    [tlPeakAP50] {}    "
+        "[tlPeakAP75] {}    [brPeakAP50] {}    [brPeakAP75] {}".format(
             *(format(e[k] * 100, "-5.2f")
               for k in ("heatAP50", "heatAP75", "tlAP50", "tlAP75",
                         "brAP50", "brAP75"))
@@ -133,7 +133,7 @@ def expression_center_net_size(batches: List[Dict]) -> str:
             average_precision_plots(gts, scores, denom, t / 100.0))
         for t in (30, 50, 75)
     }
-    return "[mIoU] {}    [AP30] {}    [AP50] {}    [AP75] {}".format(
+    return "[mIoU] {}    [peakAP30] {}    [peakAP50] {}    [peakAP75] {}".format(
         format(_mean(ious) * 100, "-10.8f"),
         format(aps[30] * 100, "-5.2f"),
         format(aps[50] * 100, "-5.2f"),

@@ -70,7 +70,7 @@ def test_corner_cpool_forward_loss_decode_eval():
     assert len(decoded) == 13
     metrics = corner_net_evaluation(None, ys, *decoded)
     line = expression_corner_net([jax.device_get(metrics)])
-    assert "[heatAP50]" in line and "[brAP75]" in line
+    assert "[heatPeakAP50]" in line and "[brPeakAP75]" in line
 
 
 def test_corner_combined_slices_channels():

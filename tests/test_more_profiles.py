@@ -46,7 +46,7 @@ def test_center_size_profile_trains(tmp_path):
     assert factory._val_locs.sharding.spec == P("data")
     factory.begin_training()
     evals = open(str(tmp_path / "results" / "evals.size-smoke.txt")).read()
-    assert "[mIoU]" in evals and "[AP75]" in evals
+    assert "[mIoU]" in evals and "[peakAP75]" in evals
 
 
 def test_legacy_corner_eval_expression():
