@@ -44,6 +44,58 @@ class Logger:
         print(_RESET + msg, flush=True)
 
 
+class ProgressLine:
+    """Live in-place training progress — the interactive counterpart of the
+    reference's tqdm loss bar (logger.py:63-80, networkFactory.py:159-162).
+
+    Writes ``\\r``-refreshed ``[train] it I/T  loss L  ips R`` to stderr.
+    Enabled on a TTY or with ``SCD_PROGRESS=1``; disabled with
+    ``SCD_PROGRESS=0``. The loss value is only printed when the caller
+    passes one — the training loop keeps per-step losses ON DEVICE and
+    only hands over a float at its sync points, so the bar never forces a
+    device round-trip.
+    """
+
+    def __init__(self, enabled: Optional[bool] = None) -> None:
+        import os
+
+        if enabled is None:
+            env = os.environ.get("SCD_PROGRESS")
+            if env is not None:
+                enabled = env not in ("0", "false", "")
+            else:
+                enabled = sys.stderr.isatty()
+        self.enabled = bool(enabled)
+        self._last_loss: Optional[float] = None
+        self._dirty = False
+
+    def update(self, step: int, total: int, ips: float,
+               loss: Optional[float] = None) -> None:
+        if not self.enabled:
+            return
+        if loss is not None:
+            self._last_loss = float(loss)
+        loss_text = (
+            "{:.4f}".format(self._last_loss)
+            if self._last_loss is not None else "  -   "
+        )
+        sys.stderr.write(
+            "\r[train] it {}/{}  loss {}  ips {:.2f}   ".format(
+                step, total, loss_text, ips
+            )
+        )
+        sys.stderr.flush()
+        self._dirty = True
+
+    def clear(self) -> None:
+        """Erase the line before a normal log print so output stays clean
+        (the tqdm-interception analog, logger.py:71-80)."""
+        if self.enabled and self._dirty:
+            sys.stderr.write("\r\033[K")
+            sys.stderr.flush()
+            self._dirty = False
+
+
 class StepTelemetry:
     """Append-only JSONL telemetry of training steps.
 

@@ -37,7 +37,7 @@ import optax
 
 from scd_resnet_tpu.core.checkpoint import load_checkpoint, load_params_only, save_checkpoint
 from scd_resnet_tpu.core.config import Configuration, default_config
-from scd_resnet_tpu.core.logging import Logger, StepTelemetry
+from scd_resnet_tpu.core.logging import Logger, ProgressLine, StepTelemetry
 from scd_resnet_tpu.core.profiling import StepProfiler
 from scd_resnet_tpu.data.dataset import SCDDataset
 from scd_resnet_tpu.data.pipeline import augment_and_render_batch
@@ -572,6 +572,7 @@ class NetworkFactory:
             "Parameter Count: {}\n".format(self.parameter_count),
         ]
         telemetry = StepTelemetry(telemetry_path)
+        progress = ProgressLine()
         profiler = StepProfiler()
         t_start = time.perf_counter()
         steps_this_run = 0
@@ -606,6 +607,7 @@ class NetworkFactory:
                     loss, stats = self.train(*payload)
 
                 if it % cfg.validationFrequency == 0:
+                    progress.clear()
                     tr_line = "[Tr] {}:     ".format(format(it, "7d")) + \
                         self.expression([jax.device_get(self.validate_train_batch())])
                     if self.val_resident:
@@ -642,12 +644,18 @@ class NetworkFactory:
                 # one bulk transfer at snapshot time
                 loss_rows.append([it, loss] + list(stats))
                 steps_this_run += 1
-                telemetry.record(
-                    it,
-                    {"ips": steps_this_run / (time.perf_counter() - t_start)},
+                ips = steps_this_run / (time.perf_counter() - t_start)
+                telemetry.record(it, {"ips": ips})
+                # the live bar shows loss only at validation boundaries,
+                # where the [Tr]/[It] pass already synced the device queue
+                progress.update(
+                    it, total, ips,
+                    loss=float(loss)
+                    if it % cfg.validationFrequency == 0 else None,
                 )
 
                 if it % cfg.snapshotFrequency == 0:
+                    progress.clear()
                     cfg.update_iteration(it)
                     self.save_parameters()
                     rows = np.asarray(jax.device_get(loss_rows), np.float64)
@@ -666,6 +674,7 @@ class NetworkFactory:
             if len(self.dataset) < cfg.batchSize:
                 raise RuntimeError("dataset smaller than one batch")
 
+        progress.clear()
         telemetry.close()
         profiler.close()
         with open(
