@@ -18,13 +18,23 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN_MOMENTUM_FLAX = 0.9  # == torch momentum 0.1
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d equivalent with the project-wide momentum."""
+    """BatchNorm2d equivalent with the project-wide momentum.
+
+    ``dtype`` sets the normalize/output precision — pass the conv-path
+    compute dtype so bf16 activations are not round-tripped through f32
+    HBM traffic around every BN. flax computes the batch statistics in
+    float32 regardless (its ``_compute_stats`` upcasts half precision),
+    and the running stats / scale / bias parameters stay float32.
+    """
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -32,7 +42,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=BN_MOMENTUM_FLAX,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )(x)
 
 
@@ -62,7 +72,7 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.batch_norm:
-            x = BatchNorm()(x, train)
+            x = BatchNorm(dtype=self.dtype)(x, train)
         return nn.relu(x)
 
 
@@ -97,3 +107,106 @@ def conv1x1(features: int, stride: int = 1, use_bias: bool = False,
 def max_pool_3x3_s2(x):
     """torch MaxPool2d(kernel=3, stride=2, padding=1) equivalent."""
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+class SubpixelConvTranspose4x4S2(nn.Module):
+    """4x4/stride-2 transposed conv, lowered as four dense 2x2 convs +
+    depth-to-space interleave.
+
+    XLA lowers ConvTranspose as an input-dilated convolution — on TPU the
+    dilation zeros waste ~4x of the MXU work, and the gradient convs
+    inherit the dilated layout. The exact decomposition (verified
+    numerically against flax.linen.ConvTranspose, strides 2, SAME, no
+    bias):
+
+      y[2i+u, 2j+v] = sum_{a,b<2} x[i+a+u-1, j+b+v-1] * K[2a+u, 2b+v]
+
+    so each output subpixel phase (u, v) is a dense stride-1 2x2 conv with
+    the K[u::2, v::2] subkernel over the 1-padded input. The parameter is
+    the standard flax (4, 4, in, out) kernel under the caller-chosen name,
+    keeping checkpoints and the torch converter unchanged.
+    """
+
+    features: int
+    kernel_init: Any = nn.initializers.normal(stddev=0.001)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c_in = x.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (4, 4, c_in, self.features))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(self.dtype)
+        subs = []
+        for u in (0, 1):
+            for v in (0, 1):
+                sub_kernel = kernel[u::2, v::2].astype(self.dtype)
+                conv = jax.lax.conv_general_dilated(
+                    xp, sub_kernel, window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )  # (b, h+1, w+1, f)
+                subs.append(conv[:, u:u + h, v:v + w, :])
+        y = jnp.stack(subs, axis=3)  # (b, h, w, 4=(u,v), f)
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, 2 * h, 2 * w, self.features)
+
+
+class StemConv7x7S2(nn.Module):
+    """7x7/stride-2/pad-3 stem conv, lowered via space-to-depth.
+
+    A 1-channel 7x7 convolution is MXU-layout-hostile: the single input
+    channel pads out the systolic array's contraction lanes and the filter
+    gradient reduces over the full 512^2 input. Measured on v5e (batch 32,
+    bf16) the naive lowering costs 15.6 ms fwd+bwd vs 2.9 ms for a
+    space-to-depth form (tools/bwd_profile.json).
+
+    This module computes the EXACT same function with the EXACT same
+    parameter (a (7, 7, C, F) kernel under the standard flax ``Conv_*``
+    naming, so checkpoints/converters are unchanged):
+
+      y[i,j] = sum_{a,b<7} x[2i+a-3, 2j+b-3] W[a,b]
+             = sum_{al,be<4; u,v<2} x2[i+al, j+be, (u,v)] W[2al+u-1, 2be+v-1]
+
+    where ``x2`` is the zero-padded input split into 2x2 blocks
+    (space-to-depth) and the kernel is zero-padded to 8x8 then regrouped to
+    (4, 4, 4C, F) at trace time — XLA folds the regroup into a constant-
+    like transpose, and the conv runs stride-1 on a 4C-channel input.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),  # nn.Conv's default
+            (7, 7, c_in, self.features),
+        )
+        # regroup kernel: pad to 8x8 with a leading zero row/col so tap
+        # a maps to index a+1 = 2*al + u, then split (al, u) per axis
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kp = kp.reshape(4, 2, 4, 2, c_in, self.features)
+        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * c_in, self.features
+        )
+
+        # space-to-depth input: pad 4 (=3+1 alignment) each side, 2x2 blocks
+        b, h, w, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        hp, wp = h + 8, w + 8
+        x2 = xp.reshape(b, hp // 2, 2, wp // 2, 2, c_in)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, hp // 2, wp // 2, 4 * c_in
+        )
+
+        y = jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), kp.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # VALID on (h/2 + 4) rows with a 4-tap window gives h/2 + 1 outputs;
+        # the conv's true output grid is the first h/2
+        return y[:, : h // 2, : w // 2, :]

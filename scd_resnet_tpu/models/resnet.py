@@ -25,7 +25,14 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from scd_resnet_tpu.models.layers import BatchNorm, conv1x1, conv3x3, max_pool_3x3_s2
+from scd_resnet_tpu.models.layers import (
+    BatchNorm,
+    StemConv7x7S2,
+    SubpixelConvTranspose4x4S2,
+    conv1x1,
+    conv3x3,
+    max_pool_3x3_s2,
+)
 
 DEFAULT_DIMENSIONS = (64, 64, 128, 256, 512, 256, 256, 256)
 
@@ -41,13 +48,13 @@ class Residual(nn.Module):
     def __call__(self, x, train: bool = False):
         in_features = x.shape[-1]
         y = conv3x3(self.features, self.stride, dtype=self.dtype)(x)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = conv3x3(self.features, dtype=self.dtype)(y)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(dtype=self.dtype)(y, train)
         if self.stride != 1 or in_features != self.features:
             skip = conv1x1(self.features, self.stride, dtype=self.dtype)(x)
-            skip = BatchNorm()(skip, train)
+            skip = BatchNorm(dtype=self.dtype)(skip, train)
         else:
             skip = x
         return nn.relu(y + skip)
@@ -66,14 +73,14 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = conv3x3(self.features, self.stride, dtype=self.dtype)(x)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = conv3x3(self.features, dtype=self.dtype)(y)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(dtype=self.dtype)(y, train)
         if self.downsample:
             residual = conv1x1(self.features * self.expansion, self.stride,
                                dtype=self.dtype)(x)
-            residual = BatchNorm()(residual, train)
+            residual = BatchNorm(dtype=self.dtype)(residual, train)
         return nn.relu(y + residual)
 
 
@@ -90,17 +97,17 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = conv1x1(self.features, dtype=self.dtype)(x)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = conv3x3(self.features, self.stride, dtype=self.dtype)(y)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = conv1x1(self.features * self.expansion, dtype=self.dtype)(y)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(dtype=self.dtype)(y, train)
         if self.downsample:
             residual = conv1x1(self.features * self.expansion, self.stride,
                                dtype=self.dtype)(x)
-            residual = BatchNorm()(residual, train)
+            residual = BatchNorm(dtype=self.dtype)(residual, train)
         return nn.relu(y + residual)
 
 
@@ -189,10 +196,12 @@ class ResNetBackbone(nn.Module):
         block, stages = RESNET_SPEC[self.num_layers]
         dims = tuple(self.dimensions)
 
-        # stem: 7x7/s2 conv + BN + ReLU + 3x3/s2 maxpool (residuals.py:210-215)
-        x = nn.Conv(dims[0], (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype)(x)
-        x = BatchNorm()(x, train)
+        # stem: 7x7/s2 conv + BN + ReLU + 3x3/s2 maxpool (residuals.py:210-215).
+        # The conv is lowered via space-to-depth (exact same function and
+        # parameter tree; ~1.2 ms faster forward at 512^2/b32 on v5e —
+        # see StemConv7x7S2 and tools/bwd_profile.json)
+        x = StemConv7x7S2(dims[0], dtype=self.dtype, name="Conv_0")(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
@@ -216,8 +225,12 @@ class ResNetBackbone(nn.Module):
             # where the bilinear-gather cost is smallest; zero-initialized
             # offsets make it a plain conv at step 0
             x = DCN(x.shape[-1], name="deconv_dcn")(x.astype(jnp.float32))
-            x = BatchNorm()(x, train)
+            x = BatchNorm(dtype=self.dtype)(x, train)
             x = nn.relu(x).astype(self.dtype)
+        # NOTE: a subpixel (depth-to-space) lowering of these was measured
+        # SLOWER end-to-end on v5e (62.9 vs 55.1 ms full step; the module
+        # and its equivalence test remain in layers.py as the negative
+        # result) — XLA's input-dilated transposed-conv lowering wins here
         for features in dims[5:8]:
             x = nn.ConvTranspose(
                 features,
@@ -228,7 +241,7 @@ class ResNetBackbone(nn.Module):
                 kernel_init=nn.initializers.normal(stddev=0.001),
                 dtype=self.dtype,
             )(x)
-            x = BatchNorm()(x, train)
+            x = BatchNorm(dtype=self.dtype)(x, train)
             x = nn.relu(x)
 
         # terminals=() exposes the raw upsampled features so model families

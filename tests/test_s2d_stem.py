@@ -1,0 +1,60 @@
+"""The space-to-depth stem lowering must compute EXACTLY the standard
+7x7/stride-2/pad-3 convolution with the same (7,7,C,F) kernel (layers.py
+StemConv7x7S2 — the v5e stem optimization, tools/bwd_profile.json)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from scd_resnet_tpu.models.layers import StemConv7x7S2
+
+
+def test_s2d_stem_matches_reference_conv():
+    for h, w, c, f in ((64, 64, 1, 8), (96, 64, 2, 4)):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, c))
+        stem = StemConv7x7S2(f)
+        variables = stem.init(jax.random.PRNGKey(1), x)
+        kernel = variables["params"]["kernel"]
+        assert kernel.shape == (7, 7, c, f)
+
+        got = stem.apply(variables, x)
+        ref = jax.lax.conv_general_dilated(
+            x, jnp.asarray(kernel), window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert got.shape == ref.shape == (2, h // 2, w // 2, f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_backbone_param_tree_unchanged():
+    """The stem still lives at ResNetBackbone_0/Conv_0/kernel with the
+    (7,7,1,64)-shaped parameter — checkpoints and the torch converter see
+    no difference."""
+    from scd_resnet_tpu.models.center_net_offset import CenterNetResidual
+
+    model = CenterNetResidual(num_layers=10,
+                              dims=(16, 16, 32, 64, 128, 64, 64, 64),
+                              terminal_hidden=32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1)), train=False)
+    kernel = variables["params"]["ResNetBackbone_0"]["Conv_0"]["kernel"]
+    assert kernel.shape == (7, 7, 1, 16)
+
+
+def test_subpixel_conv_transpose_matches_flax():
+    from scd_resnet_tpu.models.layers import SubpixelConvTranspose4x4S2
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 8, 3))
+    ref_mod = nn.ConvTranspose(5, (4, 4), strides=(2, 2), padding="SAME",
+                               use_bias=False)
+    variables = ref_mod.init(jax.random.PRNGKey(3), x)
+    ref = ref_mod.apply(variables, x)
+
+    sub = SubpixelConvTranspose4x4S2(5)
+    got = sub.apply({"params": {"kernel": variables["params"]["kernel"]}}, x)
+    assert got.shape == ref.shape == (2, 12, 16, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
