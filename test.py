@@ -47,8 +47,15 @@ def main():
         description="test.py - analyse whole-slide images with a traced model."
     )
     parser.add_argument("images", nargs="+", type=str, help="slide image paths")
-    parser.add_argument("-m", dest="model", type=str, required=True,
+    parser.add_argument("-m", dest="model", type=str, default=None,
                         help="traced model bundle (.pt from trace.py)")
+    parser.add_argument("-c", dest="checkpoint", type=str, default=None,
+                        help="live checkpoint (.pth) — serves with the "
+                        "device-fused tiling path (uint8 slide uploads once; "
+                        "~3x faster than host tiling on slow links)")
+    parser.add_argument("-a", dest="arch", type=str,
+                        default="centerOffsetRes10",
+                        help="model profile for -c (default centerOffsetRes10)")
     parser.add_argument("-o", dest="output", type=str, default=None,
                         help="write detections JSON here")
     parser.add_argument("--fit", action="store_true",
@@ -59,15 +66,56 @@ def main():
     args = parser.parse_args()
 
     from scd_resnet_tpu.core.logging import Logger
-    from scd_resnet_tpu.infer.wrapper import load_traced
 
-    model, input_shape = load_traced(args.model)
-    Logger.info(":: test.py :: loaded traced model, input {}".format(input_shape))
+    if not args.model and not args.checkpoint:
+        parser.error("one of -m (traced bundle) or -c (checkpoint) required")
+
+    if args.checkpoint:
+        # live-model path: fused on-device tiling (infer/analyse.py
+        # make_device_analyzer), one analyzer per slide geometry
+        from scd_resnet_tpu.core.checkpoint import load_params_only
+        from scd_resnet_tpu.infer.analyse import make_device_analyzer
+        from scd_resnet_tpu.infer.wrapper import make_wrapper
+        from scd_resnet_tpu.train.registry import get_model_profile
+
+        profile = get_model_profile(args.arch)
+        net = profile.build()
+        try:
+            params, batch_stats = load_params_only(args.checkpoint)
+        except Exception:
+            from scd_resnet_tpu.core.torch_convert import convert_pth_file
+
+            Logger.warn(":: test.py :: not a native checkpoint; converting "
+                        "torch state_dict")
+            params, batch_stats = convert_pth_file(
+                args.checkpoint, profile.model_params.get("num_layers", 10))
+        wrapper = make_wrapper(net, params, batch_stats)
+        Logger.info(":: test.py :: serving checkpoint {} as {} with "
+                    "device-fused tiling".format(args.checkpoint, args.arch))
+
+        analyzers = {}
+
+        def analyse_one(path):
+            gray = grayscale(path)[0]
+            height, width = gray.shape
+            if (width, height) not in analyzers:
+                analyzers[(width, height)] = make_device_analyzer(
+                    wrapper, width, height, dedupe_radius=args.dedupe)
+            return analyzers[(width, height)](gray)
+    else:
+        from scd_resnet_tpu.infer.wrapper import load_traced
+
+        model, input_shape = load_traced(args.model)
+        Logger.info(":: test.py :: loaded traced model, input {}".format(
+            input_shape))
+
+        def analyse_one(path):
+            return analyse_images(model, path, dedupe_radius=args.dedupe,
+                                  batch_size=input_shape[0])
 
     register = []
     for path in args.images:
-        detections = analyse_images(model, path, dedupe_radius=args.dedupe,
-                                    batch_size=input_shape[0])
+        detections = analyse_one(path)
         Logger.log("{}: {} detections".format(path, len(detections)))
         for det in detections:
             register.append({"image": path, "x": det[0], "y": det[1],
