@@ -23,6 +23,7 @@ import dataclasses
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from scd_resnet_tpu.models.layers import (
@@ -142,6 +143,20 @@ class TerminalSpec:
     small_init: bool = False
 
 
+def _final_conv_inits(spec: TerminalSpec):
+    kernel_init = (
+        nn.initializers.normal(stddev=0.001)
+        if spec.small_init
+        else nn.initializers.lecun_normal()
+    )
+    bias_init = (
+        nn.initializers.constant(spec.final_bias)
+        if spec.final_bias is not None
+        else nn.initializers.zeros_init()
+    )
+    return kernel_init, bias_init
+
+
 class TerminalHead(nn.Module):
     spec: TerminalSpec
     dtype: Any = jnp.float32
@@ -149,16 +164,7 @@ class TerminalHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         spec = self.spec
-        kernel_init = (
-            nn.initializers.normal(stddev=0.001)
-            if spec.small_init
-            else nn.initializers.lecun_normal()
-        )
-        bias_init = (
-            nn.initializers.constant(spec.final_bias)
-            if spec.final_bias is not None
-            else nn.initializers.zeros_init()
-        )
+        kernel_init, bias_init = _final_conv_inits(spec)
         if spec.hidden > 0:
             x = nn.Conv(spec.hidden, (3, 3), padding=1, use_bias=True,
                         dtype=self.dtype)(x)
@@ -171,6 +177,13 @@ class TerminalHead(nn.Module):
             kernel_init=kernel_init,
             bias_init=bias_init,
         )(x.astype(jnp.float32))
+
+
+# NOTE (negative result, v5e): fusing the three heads' hidden 3x3 convs
+# into one conv over concatenated output channels (exact same math via
+# trace-time kernel concat) measured 48.26 vs 48.10 ms full step — no
+# gain; the heads are MXU-compute-bound and XLA already reuses the input
+# read. Per-head TerminalHead stays.
 
 
 class ResNetBackbone(nn.Module):

@@ -58,3 +58,47 @@ def test_subpixel_conv_transpose_matches_flax():
     assert got.shape == ref.shape == (2, 12, 16, 5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_heads_match_per_head_convs():
+    """The fused terminal-head path must equal per-head Conv3x3+ReLU+Conv1x1
+    applied with the same (unchanged-tree) parameters."""
+    from scd_resnet_tpu.models.center_net_offset import CenterNetResidual
+
+    model = CenterNetResidual(num_layers=10,
+                              dims=(8, 8, 16, 32, 64, 32, 32, 32),
+                              terminal_hidden=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 1))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    outs = model.apply(variables, x, train=False)
+
+    backbone = variables["params"]["ResNetBackbone_0"]
+    # recompute each head from the trunk features via plain convs
+    trunk_model = CenterNetResidual(num_layers=10,
+                                    dims=(8, 8, 16, 32, 64, 32, 32, 32),
+                                    terminal_hidden=16)
+    # rebuild trunk output by zeroing heads? Instead: use the backbone with
+    # terminals=() through ResNetBackbone directly.
+    from scd_resnet_tpu.models.resnet import ResNetBackbone
+
+    trunk = ResNetBackbone(10, (), (8, 8, 16, 32, 64, 32, 32, 32))
+    feats = trunk.apply(
+        {"params": {k: v for k, v in backbone.items()
+                    if k not in ("heatmap", "regr", "offset")},
+         "batch_stats": variables["batch_stats"]["ResNetBackbone_0"]},
+        x, train=False)
+
+    for name, width in (("heatmap", 1), ("regr", 4), ("offset", 2)):
+        head = backbone[name]
+        h = jax.lax.conv_general_dilated(
+            feats, head["Conv_0"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + head["Conv_0"]["bias"]
+        h = jax.nn.relu(h)
+        y = jax.lax.conv_general_dilated(
+            h, head["Conv_1"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + head["Conv_1"]["bias"]
+        assert outs[name].shape == y.shape
+        np.testing.assert_allclose(np.asarray(outs[name]), np.asarray(y),
+                                   atol=1e-5, rtol=1e-5)
