@@ -127,7 +127,9 @@ def _threshold_rows(rows: np.ndarray, valid: int) -> List[List[np.ndarray]]:
 
 def _stitch(results: List[List[np.ndarray]], clip_h: int, clip_v: int,
             pad_lr: int, pad_tb: int) -> List[List[float]]:
-    """Clip -> slide coordinate stitch + Rhr (test.py:117-141)."""
+    """Clip -> slide coordinate stitch + Rhr (test.py:117-141), vectorized
+    per clip (float64 math + toward-zero truncation, matching the
+    reference's ``int(...)`` semantics exactly)."""
     stride = INPUT_SIZE - 2 * PADDING_SIZE
     detections: List[List[float]] = []
     idx = 0
@@ -135,20 +137,26 @@ def _stitch(results: List[List[np.ndarray]], clip_h: int, clip_v: int,
         for y in range(clip_v):
             (center_x, center_y, offset_x, offset_y, _mx, _my, minor_l,
              radius) = results[idx]
-            for det in range(len(center_x)):
-                dminl = float(minor_l[det]) * 4
-                halo = float(radius[det]) * 4
-                ratio = (halo - dminl) / (2 * dminl)
-                detections.append(
-                    [
-                        int(x * stride - pad_lr
-                            + float(center_x[det]) * 4 + float(offset_x[det])),
-                        int(y * stride - pad_tb
-                            + float(center_y[det]) * 4 + float(offset_y[det])),
-                        ratio,
-                    ]
-                )
             idx += 1
+            if len(center_x) == 0:
+                continue
+            dminl = minor_l.astype(np.float64) * 4
+            halo = radius.astype(np.float64) * 4
+            ratio = (halo - dminl) / (2 * dminl)
+            slide_x = np.trunc(
+                x * stride - pad_lr
+                + center_x.astype(np.float64) * 4
+                + offset_x.astype(np.float64)
+            ).astype(np.int64)
+            slide_y = np.trunc(
+                y * stride - pad_tb
+                + center_y.astype(np.float64) * 4
+                + offset_y.astype(np.float64)
+            ).astype(np.int64)
+            detections.extend(
+                [int(sx), int(sy), float(r)]
+                for sx, sy, r in zip(slide_x, slide_y, ratio)
+            )
     return detections
 
 
