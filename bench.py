@@ -174,7 +174,16 @@ def bench_jax_infer_slide(slide_w: int, slide_h: int, reps: int, warmup: int,
     for _ in range(reps):
         run_once()
     dt = time.perf_counter() - t0
-    return _slide_clip_count(slide_w, slide_h) * reps / dt
+    sequential = _slide_clip_count(slide_w, slide_h) * reps / dt
+
+    # pipelined multi-slide mode: dispatch every slide before reading any
+    # result back (grayscale + stitch of slide i overlap device work of
+    # slide i+1)
+    t0 = time.perf_counter()
+    analyse.many([grayscale_inference(rgb) for _ in range(reps)])
+    dt = time.perf_counter() - t0
+    pipelined = _slide_clip_count(slide_w, slide_h) * reps / dt
+    return sequential, pipelined
 
 
 def _torch_reference_wrapper(net, k: int = 100):
@@ -390,8 +399,8 @@ def main():
     slide_reps = 2 if args.quick else max(3, args.steps // 6)
 
     train_value = bench_jax(batch, size, steps, args.warmup)
-    infer_value = bench_jax_infer_slide(slide_w, slide_h, slide_reps,
-                                        1, slide_batch)
+    infer_value, infer_pipelined = bench_jax_infer_slide(
+        slide_w, slide_h, slide_reps, 1, slide_batch)
 
     cache = {}
     if os.path.exists(BASELINE_CACHE):
@@ -424,6 +433,7 @@ def main():
         "vs_baseline": round(infer_value / infer_baseline, 2),
         "train_clips_per_sec": round(train_value, 2),
         "train_vs_baseline": round(train_value / train_baseline, 2),
+        "pipelined_infer_clips_per_sec": round(infer_pipelined, 2),
     }))
 
 

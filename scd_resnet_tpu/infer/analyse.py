@@ -255,10 +255,7 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
     def device_rows(gray_u8):
         return wrapper(tiler(gray_u8)[..., None])
 
-    def analyse(gray: np.ndarray) -> List[List[float]]:
-        # uint8 upload: grayscale_inference output is already rounded to
-        # [0, 255], so the cast is exact and 4x smaller on the wire
-        rows = np.asarray(device_rows(jnp.asarray(gray, jnp.uint8)))
+    def _finish(rows: np.ndarray) -> List[List[float]]:
         results = _threshold_rows(rows, clip_h * clip_v)
         # _stitch walks x-major then y — match the clip stacking order above
         detections = _stitch(results, clip_h, clip_v, pad_lr, pad_tb)
@@ -266,6 +263,20 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
             detections = dedupe_detections(detections, dedupe_radius)
         return detections
 
+    def analyse(gray: np.ndarray) -> List[List[float]]:
+        # uint8 upload: grayscale_inference output is already rounded to
+        # [0, 255], so the cast is exact and 4x smaller on the wire
+        return _finish(np.asarray(device_rows(jnp.asarray(gray, jnp.uint8))))
+
+    def analyse_many(grays) -> List[List[List[float]]]:
+        """Pipelined multi-slide pass: every slide's device program is
+        dispatched before any result is read back, so uploads and compute
+        of slide i+1 overlap the host threshold/stitch of slide i (jit
+        dispatch is asynchronous; ``np.asarray`` is the sync point)."""
+        futures = [device_rows(jnp.asarray(g, jnp.uint8)) for g in grays]
+        return [_finish(np.asarray(f)) for f in futures]
+
+    analyse.many = analyse_many
     return analyse
 
 

@@ -52,6 +52,18 @@ def begin(settings):
 
     profile = get_model_profile(settings["architecture"])
     Logger.info("Loaded model profile: {}".format(settings["architecture"]))
+    from scd_resnet_tpu.models.center_net_offset import decode_center_net
+
+    if profile.decode is not decode_center_net:
+        # the 10-row wrapper contract only exists for the centerNetOffset
+        # family (the reference likewise ships only
+        # trainer/wrappers/centerOffsetResidual.py — SURVEY.md defect #6)
+        Logger.err(
+            ":: trace.py :: no deployment wrapper for '{}' — only the "
+            "centerOffset* profiles define the 10-row decode contract "
+            "test.py consumes".format(settings["architecture"])
+        )
+        sys.exit(1)
     model = profile.build()
 
     if not os.path.exists(settings["model"]):
