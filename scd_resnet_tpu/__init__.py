@@ -18,3 +18,16 @@ train / evaluations / infer.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SCD_JAX_PLATFORM"):
+    # Env-var backend pinning for subprocesses (CLI tests, worker
+    # processes). JAX_PLATFORMS alone is unreliable here: the machine's
+    # TPU tunnel re-sets it from a sitecustomize hook, so the explicit
+    # config update below is what actually selects the backend. Takes
+    # effect as long as this package is imported before the first JAX
+    # backend initialization.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SCD_JAX_PLATFORM"])

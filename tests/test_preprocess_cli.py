@@ -27,11 +27,14 @@ def _make_inputs(root, width=200, height=120):
 
 
 def _run(img_dir, ann_dir, out, margin, size=64):
+    # pin the subprocess to the CPU backend: initializing the TPU tunnel
+    # from inside the suite can stall for minutes under contention
+    env = dict(os.environ, SCD_JAX_PLATFORM="cpu")
     return subprocess.run(
         [sys.executable, "preprocess.py",
          "-i", str(img_dir), "-a", str(ann_dir), "-s", str(size),
          "-m", margin, "-p", "datasets.preprocessor.scdManual", str(out)],
-        cwd=REPO, capture_output=True, text=True, timeout=550,
+        cwd=REPO, capture_output=True, text=True, timeout=900, env=env,
     )
 
 
