@@ -231,7 +231,8 @@ def make_device_tiler(width: int, height: int) -> Callable:
 
 
 def make_device_analyzer(wrapper: Callable, width: int, height: int,
-                         dedupe_radius: Optional[float] = None) -> Callable:
+                         dedupe_radius: Optional[float] = None,
+                         mesh=None) -> Callable:
     """Slide analyzer with the tiling fused ON DEVICE.
 
     The host-tiled path ships every overlapping 512x512 clip as float32 —
@@ -243,6 +244,15 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
     program, and only the (10, N, K) decode rows come back. Geometry is
     shape-specialized per (width, height) like the traced model itself.
 
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
+    multi-chip slide serving, the spatial-scaling analog of the
+    reference's "long context" (SURVEY.md §5: slides scale by tiling;
+    chips scale by sharding the clip batch over ICI). The slide uploads
+    replicated (one uint8 image, tiny); the clip batch is padded to a
+    multiple of the axis size and sharded, so forward + decode of one
+    slide run data-parallel across every chip. No reference counterpart
+    (test.py serves on a single device).
+
     Returns ``analyse(gray) -> [[x, y, Rhr], ...]``.
     """
     import jax
@@ -251,9 +261,27 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
     clip_h, clip_v, pad_lr, pad_tb = slide_geometry(width, height)
     tiler = make_device_tiler(width, height)
 
-    @jax.jit
-    def device_rows(gray_u8):
-        return wrapper(tiler(gray_u8)[..., None])
+    if mesh is None:
+
+        @jax.jit
+        def device_rows(gray_u8):
+            return wrapper(tiler(gray_u8)[..., None])
+
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.shape["data"])
+        n = clip_h * clip_v
+        n_pad = -(-n // n_dev) * n_dev
+        clip_shard = NamedSharding(mesh, P("data"))
+
+        @jax.jit
+        def device_rows(gray_u8):
+            clips = tiler(gray_u8)[..., None]
+            clips = jnp.pad(
+                clips, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
+            clips = jax.lax.with_sharding_constraint(clips, clip_shard)
+            return wrapper(clips)[:, :n]
 
     def _finish(rows: np.ndarray) -> List[List[float]]:
         results = _threshold_rows(rows, clip_h * clip_v)

@@ -63,6 +63,9 @@ def main():
     parser.add_argument("--dedupe", type=float, default=None,
                         help="suppress tile-overlap duplicate detections "
                         "within this radius (px)")
+    parser.add_argument("--mesh", action="store_true",
+                        help="with -c: shard each slide's clip batch over "
+                        "ALL local devices (multi-chip serving)")
     args = parser.parse_args()
 
     from scd_resnet_tpu.core.logging import Logger
@@ -93,6 +96,16 @@ def main():
         Logger.info(":: test.py :: serving checkpoint {} as {} with "
                     "device-fused tiling".format(args.checkpoint, args.arch))
 
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from scd_resnet_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(jax.devices())
+            Logger.info(":: test.py :: sharding clip batches over {} "
+                        "device(s)".format(mesh.devices.size))
+
         analyzers = {}
 
         def analyse_one(path):
@@ -100,7 +113,8 @@ def main():
             height, width = gray.shape
             if (width, height) not in analyzers:
                 analyzers[(width, height)] = make_device_analyzer(
-                    wrapper, width, height, dedupe_radius=args.dedupe)
+                    wrapper, width, height, dedupe_radius=args.dedupe,
+                    mesh=mesh)
             return analyzers[(width, height)](gray)
     else:
         from scd_resnet_tpu.infer.wrapper import load_traced

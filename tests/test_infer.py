@@ -166,3 +166,36 @@ def test_device_analyzer_matches_host_stitch():
 
     device_dets = make_device_analyzer(wrapper, 900, 600)(gray)
     assert device_dets == host_dets
+
+
+def test_device_analyzer_mesh_sharded_matches_single():
+    """Multi-chip serving: sharding the clip batch over the mesh 'data'
+    axis (including padding 6 clips up to the 8-device axis) must decode
+    and stitch identically to the single-device analyzer."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from scd_resnet_tpu.infer.analyse import make_device_analyzer
+
+    rng = np.random.default_rng(5)
+    gray = rng.uniform(0.0, 255.0, (600, 900)).astype(np.float32)
+    k = 100
+
+    def wrapper(clips):
+        # data-dependent fake decode rows so wrong sharding would show
+        b = clips.shape[0]
+        m = clips.mean(axis=(1, 2, 3))
+        rows = jnp.zeros((10, b, k), jnp.float32)
+        rows = rows.at[0, :, 0].set(jax.nn.sigmoid(m) * 0.5 + 0.4)
+        rows = rows.at[2, :, 0].set(10.0 + m)
+        rows = rows.at[3, :, 0].set(20.0 - m)
+        rows = rows.at[6, :, 0].set(2.0)
+        rows = rows.at[7, :, 0].set(6.0)
+        return rows
+
+    single = make_device_analyzer(wrapper, 900, 600)(gray)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sharded = make_device_analyzer(wrapper, 900, 600, mesh=mesh)(gray)
+    assert len(single) > 0
+    assert sharded == single
