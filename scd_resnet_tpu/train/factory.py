@@ -167,7 +167,18 @@ class NetworkFactory:
         self._validate_step_unsharded = self._build_validate_step_unsharded()
         self._augment = self._build_augment()
         self._rng = jax.random.PRNGKey(seed + 1)
+        self._stop_requested = False
+        self.preempted = False
         self._setup_residency()
+
+    def request_stop(self, signum=None, frame=None) -> None:
+        """Ask the schedule loop to stop at the next step boundary with a
+        full (params + optimizer + step) checkpoint. Installed as the
+        SIGTERM/SIGINT handler during ``begin_training`` — TPU pods are
+        preemptible, and a preemption mid-run otherwise burns the whole
+        schedule (the reference had no failure handling at all,
+        SURVEY.md §5). Signature matches ``signal.signal`` handlers."""
+        self._stop_requested = True
 
     # ---- jitted steps ----------------------------------------------------
 
@@ -577,6 +588,32 @@ class NetworkFactory:
         t_start = time.perf_counter()
         steps_this_run = 0
 
+        # graceful preemption: SIGTERM/SIGINT checkpoint instead of losing
+        # the run (restored on exit; signal.signal only works in the main
+        # thread — test harnesses calling from workers keep their handlers)
+        import signal as _signal
+
+        prev_handlers = {}
+        try:
+            for sig in (_signal.SIGTERM, _signal.SIGINT):
+                prev_handlers[sig] = _signal.signal(sig, self.request_stop)
+        except ValueError:
+            prev_handlers = {}
+
+        def flush_rows(upto: int) -> None:
+            nonlocal loss_rows
+            if not loss_rows:
+                return
+            rows = np.asarray(jax.device_get(loss_rows), np.float64)
+            np.savetxt(
+                os.path.join(
+                    cfg.dirResult,
+                    "losses.{}.{}.txt".format(cfg.trainName, upto),
+                ),
+                rows, delimiter=",", fmt="%.5f",
+            )
+            loss_rows = []
+
         # per-host shard of the epoch order (multi-host DP; single host
         # passes (1, 0) and sees the full order)
         shard_count = jax.process_count()
@@ -595,89 +632,103 @@ class NetworkFactory:
                     yield ("host", batch)
 
         finished = False
-        while not finished:
-            for kind, payload in epoch_iterator():
-                cfg.update_iteration(it)
-                it += 1
+        try:
+            while not finished:
+                for kind, payload in epoch_iterator():
+                    cfg.update_iteration(it)
+                    it += 1
 
-                profiler.step(it)
-                if kind == "resident":
-                    loss, stats = self.train_resident(payload)
-                else:
-                    loss, stats = self.train(*payload)
-
-                if it % cfg.validationFrequency == 0:
-                    progress.clear()
-                    tr_line = "[Tr] {}:     ".format(format(it, "7d")) + \
-                        self.expression([jax.device_get(self.validate_train_batch())])
-                    if self.val_resident:
-                        batches = self.validate_resident_set()
+                    profiler.step(it)
+                    if kind == "resident":
+                        loss, stats = self.train_resident(payload)
                     else:
-                        batches = [
-                            jax.device_get(self.validate(item["xs"], item["ys"]))
-                            for item in self.dataset.get_validation_set(
-                                cfg.validationBatchSize,
-                                corner_targets=self.profile.corner_targets,
-                            )
-                        ]
-                    it_line = "[It] {}:     ".format(format(it, "7d")) + \
-                        self.expression(batches)
-                    eval_lines.append(tr_line + "\n" + it_line + "\n")
-                    Logger.info_green(tr_line)
-                    Logger.info(it_line)
+                        loss, stats = self.train(*payload)
 
-                    # failure detection: a diverged run burns the remaining
-                    # schedule — stop at the first non-finite loss with the
-                    # state still checkpointable (the reference had no
-                    # failure handling at all, SURVEY.md §5)
-                    if not np.isfinite(float(loss)):
+                    if it % cfg.validationFrequency == 0:
+                        progress.clear()
+                        tr_line = "[Tr] {}:     ".format(format(it, "7d")) + \
+                            self.expression([jax.device_get(self.validate_train_batch())])
+                        if self.val_resident:
+                            batches = self.validate_resident_set()
+                        else:
+                            batches = [
+                                jax.device_get(self.validate(item["xs"], item["ys"]))
+                                for item in self.dataset.get_validation_set(
+                                    cfg.validationBatchSize,
+                                    corner_targets=self.profile.corner_targets,
+                                )
+                            ]
+                        it_line = "[It] {}:     ".format(format(it, "7d")) + \
+                            self.expression(batches)
+                        eval_lines.append(tr_line + "\n" + it_line + "\n")
+                        Logger.info_green(tr_line)
+                        Logger.info(it_line)
+
+                        # failure detection: a diverged run burns the remaining
+                        # schedule — stop at the first non-finite loss with the
+                        # state still checkpointable (the reference had no
+                        # failure handling at all, SURVEY.md §5)
+                        if not np.isfinite(float(loss)):
+                            cfg.update_iteration(it)
+                            self.save_parameters()
+                            raise FloatingPointError(
+                                "non-finite loss at iteration {}; state saved to "
+                                "{}".format(it, self._checkpoint_path())
+                            )
+
+                    # keep per-step loss/stats ON DEVICE — a host read here
+                    # would re-synchronize every step through the dispatch
+                    # queue (~2x slower end-to-end); everything is fetched in
+                    # one bulk transfer at snapshot time
+                    loss_rows.append([it, loss] + list(stats))
+                    steps_this_run += 1
+                    ips = steps_this_run / (time.perf_counter() - t_start)
+                    telemetry.record(it, {"ips": ips})
+                    # the live bar shows loss only at validation boundaries,
+                    # where the [Tr]/[It] pass already synced the device queue
+                    progress.update(
+                        it, total, ips,
+                        loss=float(loss)
+                        if it % cfg.validationFrequency == 0 else None,
+                    )
+
+                    if it % cfg.snapshotFrequency == 0:
+                        progress.clear()
                         cfg.update_iteration(it)
                         self.save_parameters()
-                        raise FloatingPointError(
-                            "non-finite loss at iteration {}; state saved to "
-                            "{}".format(it, self._checkpoint_path())
-                        )
+                        flush_rows(it)
 
-                # keep per-step loss/stats ON DEVICE — a host read here
-                # would re-synchronize every step through the dispatch
-                # queue (~2x slower end-to-end); everything is fetched in
-                # one bulk transfer at snapshot time
-                loss_rows.append([it, loss] + list(stats))
-                steps_this_run += 1
-                ips = steps_this_run / (time.perf_counter() - t_start)
-                telemetry.record(it, {"ips": ips})
-                # the live bar shows loss only at validation boundaries,
-                # where the [Tr]/[It] pass already synced the device queue
-                progress.update(
-                    it, total, ips,
-                    loss=float(loss)
-                    if it % cfg.validationFrequency == 0 else None,
-                )
+                    if self._stop_requested and it < total:
+                        # preemption checkpoint: persist everything needed for
+                        # an exact resume (set ``currentIter`` and rerun)
+                        progress.clear()
+                        cfg.update_iteration(it)
+                        self.save_parameters()
+                        flush_rows(it)
+                        line = ("Preempted at iteration {} (state saved to {}; "
+                                "resume with currentIter={})").format(
+                                    it, self._checkpoint_path(), it)
+                        eval_lines.append(line + "\n")
+                        Logger.warn(":: factory :: " + line)
+                        self.preempted = True
+                        finished = True
 
-                if it % cfg.snapshotFrequency == 0:
-                    progress.clear()
-                    cfg.update_iteration(it)
-                    self.save_parameters()
-                    rows = np.asarray(jax.device_get(loss_rows), np.float64)
-                    np.savetxt(
-                        os.path.join(
-                            cfg.dirResult,
-                            "losses.{}.{}.txt".format(cfg.trainName, it),
-                        ),
-                        rows, delimiter=",", fmt="%.5f",
-                    )
-                    loss_rows = []
+                    if it >= total:
+                        finished = True
+                    if finished:
+                        break
+                if len(self.dataset) < cfg.batchSize:
+                    raise RuntimeError("dataset smaller than one batch")
 
-                if it >= total:
-                    finished = True
-                    break
-            if len(self.dataset) < cfg.batchSize:
-                raise RuntimeError("dataset smaller than one batch")
-
-        progress.clear()
-        telemetry.close()
-        profiler.close()
-        with open(
-            os.path.join(cfg.dirResult, "evals.{}.txt".format(cfg.trainName)), "w"
-        ) as f:
-            f.writelines(eval_lines)
+        finally:
+            progress.clear()
+            telemetry.close()
+            profiler.close()
+            for sig, handler in prev_handlers.items():
+                _signal.signal(sig, handler)
+            with open(
+                os.path.join(cfg.dirResult,
+                             "evals.{}.txt".format(cfg.trainName)),
+                "w",
+            ) as f:
+                f.writelines(eval_lines)
