@@ -32,7 +32,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from scd_resnet_tpu.models.layers import BatchNorm, ConvBlock, conv1x1
+from scd_resnet_tpu.models.layers import (
+    BatchNorm,
+    ConvBlock,
+    conv1x1,
+    max_pool_2x2_s2,
+)
 from scd_resnet_tpu.models.resnet import Residual
 
 
@@ -85,7 +90,7 @@ class Hourglass(nn.Module):
         up1 = ResidualStack(cur_dim, cur_mod)(x, train)
 
         if self.pool_downsample:
-            low = nn.max_pool(x, (2, 2), strides=(2, 2))
+            low = max_pool_2x2_s2(x)
             low = ResidualStack(nxt_dim, cur_mod)(low, train)
         else:
             low = ResidualStack(nxt_dim, cur_mod, first_stride=2)(x, train)

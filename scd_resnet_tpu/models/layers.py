@@ -105,8 +105,29 @@ def conv1x1(features: int, stride: int = 1, use_bias: bool = False,
 
 
 def max_pool_3x3_s2(x):
-    """torch MaxPool2d(kernel=3, stride=2, padding=1) equivalent."""
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) equivalent.
+
+    Deliberately the plain reduce_window lowering. Three
+    SelectAndScatter-free gradient rewrites were measured in-step on v5e
+    (512^2/batch-32 bf16 stem segment, conv+BN+relu+pool fwd+bwd):
+
+      reduce_window (this)                       7.4 ms
+      9 stride-2-slice custom VJP               ~60 ms (2D strided slices)
+      separable fwd + parity-phase custom VJP   17.3 ms
+      separable fwd, plain autodiff             16.1 ms
+
+    The pool contributes only ~3.3 ms of the segment (4.1 ms poolless) —
+    XLA's SelectAndScatter gradient is already the fastest option at this
+    shape; phase/slice reconstructions lose to its fused scan. Negative
+    result recorded 2026-08 (round 2); do not revisit without new layout
+    tools.
+    """
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+def max_pool_2x2_s2(x):
+    """torch MaxPool2d(kernel=2, stride=2) equivalent (hourglass.py:46)."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
 class SubpixelConvTranspose4x4S2(nn.Module):

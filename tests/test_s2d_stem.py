@@ -102,3 +102,44 @@ def test_fused_heads_match_per_head_convs():
         assert outs[name].shape == y.shape
         np.testing.assert_allclose(np.asarray(outs[name]), np.asarray(y),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_max_pool_gradient_matches_torch_tie_routing():
+    """The stem maxpool gradient must match torch MaxPool2d's, INCLUDING
+    on tied inputs (post-relu zeros tie constantly): both XLA's
+    SelectAndScatter and torch route the gradient to the first window
+    maximum in raster order. Guards any future pool-lowering swap — a
+    plain autodiff max chain would silently SPLIT gradients across ties
+    (JAX's balanced-eq max JVP). Reference: torch MaxPool2d used at
+    models/backbones/residuals.py:61."""
+    import torch
+
+    from scd_resnet_tpu.models.layers import max_pool_2x2_s2, max_pool_3x3_s2
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (max_pool_3x3_s2, dict(kernel_size=3, stride=2, padding=1)),
+        (max_pool_2x2_s2, dict(kernel_size=2, stride=2)),
+    ]
+    for pool, torch_kw in cases:
+        for x_np in (
+            rng.normal(size=(2, 16, 16, 3)).astype(np.float32),
+            # heavy ties: integer-valued and zero-heavy like relu output
+            np.maximum(rng.integers(-2, 3, size=(2, 16, 16, 3)), 0)
+            .astype(np.float32),
+        ):
+            x = jnp.asarray(x_np)
+            y = pool(x)
+            dy_np = rng.normal(size=y.shape).astype(np.float32)
+            g = jax.grad(
+                lambda x: jnp.sum(pool(x) * jnp.asarray(dy_np)))(x)
+
+            xt = torch.tensor(x_np.transpose(0, 3, 1, 2),
+                              requires_grad=True)
+            yt = torch.nn.functional.max_pool2d(xt, **torch_kw)
+            yt.backward(torch.tensor(dy_np.transpose(0, 3, 1, 2)))
+            np.testing.assert_array_equal(
+                np.asarray(y), yt.detach().numpy().transpose(0, 2, 3, 1))
+            np.testing.assert_allclose(
+                np.asarray(g), xt.grad.numpy().transpose(0, 2, 3, 1),
+                atol=1e-5, rtol=1e-5)
