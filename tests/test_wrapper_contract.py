@@ -44,3 +44,26 @@ def test_wrapper_rows_match_decode(tmp_path):
     loaded, shape = load_traced(path)
     assert shape == (2, 64, 64, 1)
     np.testing.assert_allclose(loaded(np.asarray(x)), rows, atol=1e-5)
+
+
+def test_dcn_model_exports_stablehlo(tmp_path):
+    """The DCN-prologue model must survive the export path: the
+    reference ships a dedicated ONNX-exportable DCN rewrite
+    (models/backbones/deformable/dcn_v2_onnx.py) because its custom
+    autograd op breaks tracing; here the bilinear-gather DCN is ordinary
+    jax, so the SAME model exports through the SAME StableHLO path."""
+    model = CenterNetResidual(num_layers=10, dims=TINY, terminal_hidden=32,
+                              dcn=True)
+    x = jnp.array(
+        np.random.default_rng(1).standard_normal((1, 64, 64, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    wrapper = make_wrapper(model, variables["params"],
+                           variables["batch_stats"])
+    rows = np.asarray(wrapper(x))
+    assert rows.shape == (10, 1, 100)
+
+    path = str(tmp_path / "tiny_dcn.pt")
+    save_traced(path, wrapper, (1, 64, 64, 1))
+    loaded, shape = load_traced(path)
+    assert shape == (1, 64, 64, 1)
+    np.testing.assert_allclose(loaded(np.asarray(x)), rows, atol=1e-5)
