@@ -1,0 +1,113 @@
+"""HTTP contract tests for the persistent serving daemon
+(scd_resnet_tpu/infer/server.py + serve.py): /healthz, /metrics, and
+/analyse with a real (tiny) model end-to-end — upload PNG bytes, get
+detections JSON back, analyzer cached per geometry, errors counted.
+
+The reference's deployment host (libtorch C++ around the traced model,
+reference trace.py:15-17) has no test; this one pins the whole request
+path on the device-fused tiling analyzer."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scd_resnet_tpu.infer.server import InferenceService, create_server
+from scd_resnet_tpu.infer.wrapper import make_wrapper
+from scd_resnet_tpu.models.center_net_offset import CenterNetResidual
+
+TINY = (8, 8, 16, 32, 64, 32, 32, 32)
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    model = CenterNetResidual(num_layers=10, dims=TINY, terminal_hidden=16)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    wrapper = make_wrapper(model, variables["params"],
+                           variables["batch_stats"])
+    service = InferenceService(wrapper=wrapper, dedupe_radius=None)
+    httpd = create_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield "http://127.0.0.1:{}".format(port)
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=600) as resp:
+        return json.loads(resp.read())
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def _png_bytes(array):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(array).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_healthz(server_url):
+    health = _get(server_url + "/healthz")
+    assert health["status"] == "ok"
+    assert health["mode"] == "device-fused"
+    assert health["devices"]
+
+
+def test_analyse_roundtrip_and_metrics(server_url):
+    rng = np.random.default_rng(0)
+    slide = rng.integers(0, 255, (700, 900), np.uint8)
+    status, payload = _post(server_url + "/analyse", _png_bytes(slide))
+    assert status == 200
+    assert payload["count"] == len(payload["detections"])
+    for det in payload["detections"]:
+        assert set(det) == {"x", "y", "rhr"}
+        assert 0 <= det["x"] <= 900 and 0 <= det["y"] <= 700
+    assert payload["latency_ms"] > 0
+
+    # same geometry again: analyzer cache reused (no recompile) and a
+    # per-request dedupe override is accepted
+    status, second = _post(server_url + "/analyse?dedupe=16",
+                           _png_bytes(slide))
+    assert status == 200
+    assert second["count"] <= payload["count"]
+
+    health = _get(server_url + "/healthz")
+    assert health["geometries"] == ["900x700"]
+
+    metrics = _get(server_url + "/metrics")
+    assert metrics["requests"] == 2
+    assert metrics["clips"] > 0
+    assert metrics["clips_per_second"] > 0
+
+
+def test_analyse_error_counted(server_url):
+    status, payload = _post(server_url + "/analyse", b"not an image")
+    assert status == 500 and "error" in payload
+    assert _get(server_url + "/metrics")["errors"] == 1
+
+
+def test_unknown_routes(server_url):
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(server_url + "/nope", timeout=30)
+
+
+def test_service_requires_exactly_one_model():
+    with pytest.raises(ValueError):
+        InferenceService()
