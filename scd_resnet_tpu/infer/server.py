@@ -99,6 +99,22 @@ class InferenceService:
             self._stats["busy_seconds"] += time.perf_counter() - t0
         return detections
 
+    def warmup(self, width: int, height: int) -> float:
+        """Pre-compile the analyzer for one slide geometry (the first
+        request at a new geometry otherwise pays the jit compile — ~2 min
+        over the axon tunnel). Returns seconds spent."""
+        t0 = time.perf_counter()
+        with self._stats_lock:
+            before = self._stats["busy_seconds"]
+        self.analyse_gray(np.zeros((height, width), np.float32))
+        clip_h, clip_v, _, _ = slide_geometry(width, height)
+        with self._stats_lock:  # don't pollute the serving counters
+            self._stats["requests"] -= 1
+            self._stats["clips"] -= clip_h * clip_v
+            self._stats["busy_seconds"] = before
+            self._stats["warmups"] = self._stats.get("warmups", 0) + 1
+        return time.perf_counter() - t0
+
     def analyse_bytes(self, data: bytes, dedupe: Optional[float] = None):
         from PIL import Image
 
@@ -162,6 +178,15 @@ def make_handler(service: InferenceService):
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
+            if url.path == "/warmup":
+                try:
+                    query = parse_qs(url.query)
+                    seconds = service.warmup(int(query["width"][0]),
+                                             int(query["height"][0]))
+                    self._json({"compiled_seconds": round(seconds, 1)})
+                except Exception as exc:
+                    self._json({"error": str(exc)}, 400)
+                return
             if url.path != "/analyse":
                 self._json({"error": "not found"}, 404)
                 return

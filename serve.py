@@ -35,6 +35,10 @@ def main():
                         help="default tile-overlap suppression radius (px)")
     parser.add_argument("--mesh", action="store_true",
                         help="with -c: shard clip batches over all devices")
+    parser.add_argument("--warmup", action="append", default=[],
+                        metavar="WxH", help="pre-compile the analyzer for "
+                        "this slide geometry at startup (repeatable), e.g. "
+                        "--warmup 3092x2056")
     args = parser.parse_args()
 
     from scd_resnet_tpu.core.logging import Logger
@@ -80,6 +84,13 @@ def main():
                                    dedupe_radius=args.dedupe)
         Logger.info(":: serve.py :: serving traced bundle {}".format(
             args.model))
+
+    for geom in args.warmup:
+        width, height = (int(v) for v in geom.lower().split("x"))
+        Logger.info(":: serve.py :: warming up {}x{} ...".format(
+            width, height))
+        seconds = service.warmup(width, height)
+        Logger.info(":: serve.py :: compiled in {:.1f}s".format(seconds))
 
     server = create_server(service, args.host, args.port)
     Logger.info(":: serve.py :: listening on http://{}:{}".format(

@@ -111,3 +111,18 @@ def test_unknown_routes(server_url):
 def test_service_requires_exactly_one_model():
     with pytest.raises(ValueError):
         InferenceService()
+
+
+def test_warmup_endpoint(server_url):
+    before = _get(server_url + "/metrics")
+    status, payload = _post(server_url + "/warmup?width=640&height=512", b"")
+    assert status == 200 and payload["compiled_seconds"] > 0
+    after = _get(server_url + "/metrics")
+    # warmup pre-compiles the analyzer without polluting serving counters
+    assert after["requests"] == before["requests"]
+    assert after["clips"] == before["clips"]
+    assert after["warmups"] == before.get("warmups", 0) + 1
+    assert "640x512" in _get(server_url + "/healthz")["geometries"]
+
+    status, payload = _post(server_url + "/warmup?width=abc", b"")
+    assert status == 400
