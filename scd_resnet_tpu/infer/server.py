@@ -10,17 +10,24 @@ once and only decode rows return), and exposes a minimal HTTP contract:
 
     GET  /healthz   liveness + device + analyzer-cache info
     GET  /metrics   request/detection/latency counters (JSON)
+    POST /warmup?width=W&height=H   pre-compile one geometry
     POST /analyse   body = image bytes (anything PIL reads: PNG/TIFF/JPEG)
                     -> {"detections": [{"x","y","rhr"}...], "count",
-                        "latency_ms", "clips"}
+                        "latency_ms"}
 
 Query params on /analyse: ``dedupe`` overrides the tile-overlap
 suppression radius for that request.
 
 stdlib http.server only (no extra deps); device work is serialized by a
 lock (one TPU, one program at a time) while image decode runs in the
-request thread. With ``mesh``, each slide's clip batch is sharded over
-every local chip (multi-chip serving).
+request thread. The first request at a NEW geometry jit-compiles
+(~30 s–2 min over the axon tunnel) while holding that lock — pre-compile
+known geometries with ``--warmup``/``/warmup``; compile time is counted
+in the ``compile_seconds`` metric, not in serving ``busy_seconds``. The
+analyzer cache is LRU-bounded (``max_geometries``) so clients cycling
+slide sizes cannot grow device memory without bound. With ``mesh``, each
+slide's clip batch is sharded over every local chip (multi-chip
+serving).
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ import io
 import json
 import threading
 import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
 
@@ -43,6 +51,10 @@ from scd_resnet_tpu.infer.analyse import (
 from scd_resnet_tpu.ops.image import grayscale_inference
 
 
+class ClientError(ValueError):
+    """Bad request input (HTTP 400, not counted as a server error)."""
+
+
 class InferenceService:
     """Analyzer cache + stats around one decode wrapper.
 
@@ -54,40 +66,61 @@ class InferenceService:
 
     def __init__(self, wrapper: Optional[Callable] = None,
                  traced=None, dedupe_radius: Optional[float] = None,
-                 mesh=None):
+                 mesh=None, max_geometries: int = 8):
         if (wrapper is None) == (traced is None):
             raise ValueError("exactly one of wrapper/traced required")
         self._wrapper = wrapper
         self._traced = traced
         self._dedupe = dedupe_radius
         self._mesh = mesh
-        self._analyzers = {}
+        self._max_geometries = max_geometries
+        self._analyzers: OrderedDict = OrderedDict()
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._stats = {
-            "requests": 0, "errors": 0, "detections": 0,
-            "clips": 0, "busy_seconds": 0.0, "started": time.time(),
+            "requests": 0, "errors": 0, "detections": 0, "clips": 0,
+            "warmups": 0, "compiles": 0, "compile_seconds": 0.0,
+            "busy_seconds": 0.0, "started": time.time(),
         }
 
     # -- analysis ---------------------------------------------------------
+
+    def _analyzer(self, width: int, height: int):
+        """Get-or-build the analyzer for one geometry. Call with the
+        device lock held. A cache miss compiles on a zero slide first so
+        serving ``busy_seconds`` never includes jit compile."""
+        key = (width, height)
+        if key in self._analyzers:
+            self._analyzers.move_to_end(key)
+            return self._analyzers[key]
+        t0 = time.perf_counter()
+        analyzer = make_device_analyzer(self._wrapper, width, height,
+                                        mesh=self._mesh)
+        analyzer(np.zeros((height, width), np.float32))  # compile now
+        elapsed = time.perf_counter() - t0
+        with self._stats_lock:
+            self._stats["compiles"] += 1
+            self._stats["compile_seconds"] += elapsed
+        self._analyzers[key] = analyzer
+        while len(self._analyzers) > self._max_geometries:
+            self._analyzers.popitem(last=False)  # evict least-recent
+        return analyzer
 
     def analyse_gray(self, gray: np.ndarray,
                      dedupe: Optional[float] = None):
         """[[x, y, rhr], ...] for a uint8-range grayscale slide."""
         height, width = gray.shape
-        t0 = time.perf_counter()
         with self._device_lock:
             if self._wrapper is not None:
-                key = (width, height)
-                if key not in self._analyzers:
-                    # per-geometry jit, cached for the server's lifetime
-                    self._analyzers[key] = make_device_analyzer(
-                        self._wrapper, width, height, mesh=self._mesh)
-                detections = self._analyzers[key](gray)
+                analyzer = self._analyzer(width, height)
+                t0 = time.perf_counter()
+                detections = analyzer(gray)
             else:
                 model, input_shape = self._traced
+                t0 = time.perf_counter()
                 detections = analyse_grayscale(
                     model, gray, batch_size=input_shape[0])
+            elapsed = time.perf_counter() - t0
         radius = self._dedupe if dedupe is None else dedupe
         if radius is not None:
             detections = dedupe_detections(detections, radius)
@@ -96,33 +129,56 @@ class InferenceService:
             self._stats["requests"] += 1
             self._stats["detections"] += len(detections)
             self._stats["clips"] += clip_h * clip_v
-            self._stats["busy_seconds"] += time.perf_counter() - t0
+            self._stats["busy_seconds"] += elapsed
         return detections
 
     def warmup(self, width: int, height: int) -> float:
-        """Pre-compile the analyzer for one slide geometry (the first
-        request at a new geometry otherwise pays the jit compile — ~2 min
-        over the axon tunnel). Returns seconds spent."""
+        """Pre-compile the analyzer for one slide geometry. Returns
+        seconds spent (near 0 if already cached)."""
+        if self._wrapper is None:
+            return 0.0  # traced path has no per-geometry programs
         t0 = time.perf_counter()
+        with self._device_lock:
+            self._analyzer(width, height)
         with self._stats_lock:
-            before = self._stats["busy_seconds"]
-        self.analyse_gray(np.zeros((height, width), np.float32))
-        clip_h, clip_v, _, _ = slide_geometry(width, height)
-        with self._stats_lock:  # don't pollute the serving counters
-            self._stats["requests"] -= 1
-            self._stats["clips"] -= clip_h * clip_v
-            self._stats["busy_seconds"] = before
-            self._stats["warmups"] = self._stats.get("warmups", 0) + 1
+            self._stats["warmups"] += 1
         return time.perf_counter() - t0
 
     def analyse_bytes(self, data: bytes, dedupe: Optional[float] = None):
-        from PIL import Image
+        from PIL import Image, UnidentifiedImageError
 
-        color = np.asarray(Image.open(io.BytesIO(data)))
-        if color.ndim == 2:  # already grayscale
-            gray = color.astype(np.float32)
+        try:
+            image = Image.open(io.BytesIO(data))
+            if image.mode == "P":  # palette -> real colors
+                image = image.convert("RGB")
+            color = np.asarray(image)
+        except UnidentifiedImageError as exc:
+            raise ClientError("unreadable image: {}".format(exc)) from exc
+        if color.ndim == 2:
+            # already grayscale; rescale >8-bit scanner output (16-bit
+            # TIFF etc.) instead of letting the device path wrap it
+            # modulo 256 through its uint8 upload cast
+            if color.dtype == np.uint8:
+                gray = color.astype(np.float32)
+            elif color.dtype == np.uint16:
+                gray = np.round(color / 257.0).astype(np.float32)
+            elif np.issubdtype(color.dtype, np.integer) or \
+                    np.issubdtype(color.dtype, np.floating):
+                peak = float(color.max()) if color.size else 0.0
+                if peak > 255.0:
+                    gray = np.round(
+                        np.asarray(color, np.float64) * (255.0 / peak)
+                    ).astype(np.float32)
+                else:
+                    gray = np.clip(color, 0, 255).astype(np.float32)
+            else:
+                raise ClientError(
+                    "unsupported image dtype {}".format(color.dtype))
+        elif color.ndim == 3 and color.shape[-1] >= 3:
+            gray = grayscale_inference(color[..., :3])
         else:
-            gray = grayscale_inference(color)
+            raise ClientError(
+                "unsupported image shape {}".format(color.shape))
         return self.analyse_gray(gray, dedupe=dedupe)
 
     def record_error(self):
@@ -134,13 +190,14 @@ class InferenceService:
     def health(self) -> dict:
         import jax
 
+        geometries = list(self._analyzers)  # atomic snapshot under GIL
         return {
             "status": "ok",
             "mode": "device-fused" if self._wrapper is not None else "traced",
             "devices": [str(d) for d in jax.devices()],
             "mesh": None if self._mesh is None else str(
                 dict(self._mesh.shape)),
-            "geometries": ["{}x{}".format(*k) for k in self._analyzers],
+            "geometries": ["{}x{}".format(*k) for k in geometries],
         }
 
     def metrics(self) -> dict:
@@ -149,6 +206,7 @@ class InferenceService:
         stats["uptime_seconds"] = round(time.time() - stats.pop("started"), 1)
         busy = stats["busy_seconds"]
         stats["busy_seconds"] = round(busy, 3)
+        stats["compile_seconds"] = round(stats["compile_seconds"], 1)
         stats["clips_per_second"] = round(stats["clips"] / busy, 1) if busy else 0.0
         return stats
 
@@ -181,21 +239,28 @@ def make_handler(service: InferenceService):
             if url.path == "/warmup":
                 try:
                     query = parse_qs(url.query)
-                    seconds = service.warmup(int(query["width"][0]),
-                                             int(query["height"][0]))
-                    self._json({"compiled_seconds": round(seconds, 1)})
-                except Exception as exc:
-                    self._json({"error": str(exc)}, 400)
+                    width = int(query["width"][0])
+                    height = int(query["height"][0])
+                except (KeyError, ValueError) as exc:
+                    self._json({"error": "bad warmup query: {}".format(exc)},
+                               400)
+                    return
+                seconds = service.warmup(width, height)
+                self._json({"compiled_seconds": round(seconds, 1)})
                 return
             if url.path != "/analyse":
                 self._json({"error": "not found"}, 404)
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                data = self.rfile.read(length)
                 query = parse_qs(url.query)
                 dedupe = (float(query["dedupe"][0])
                           if "dedupe" in query else None)
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError as exc:
+                self._json({"error": "bad request: {}".format(exc)}, 400)
+                return
+            data = self.rfile.read(length)
+            try:
                 t0 = time.perf_counter()
                 detections = service.analyse_bytes(data, dedupe=dedupe)
                 self._json({
@@ -207,6 +272,8 @@ def make_handler(service: InferenceService):
                     "latency_ms": round(
                         (time.perf_counter() - t0) * 1000.0, 1),
                 })
+            except ClientError as exc:  # bad input, not a server fault
+                self._json({"error": str(exc)}, 400)
             except Exception as exc:  # report, keep serving
                 service.record_error()
                 self._json({"error": str(exc)}, 500)

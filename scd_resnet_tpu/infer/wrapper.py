@@ -84,3 +84,30 @@ def load_traced(path: str) -> Tuple[Callable, Tuple[int, ...]]:
         return np.asarray(fn(jnp.asarray(batch, jnp.float32)))
 
     return call, tuple(meta["input_shape"])
+
+
+def load_wrapper(checkpoint_path: str, arch: str) -> Callable:
+    """Checkpoint -> decode wrapper for the named model profile.
+
+    The shared serving loader (test.py -c and serve.py -c): native
+    checkpoints load directly; anything the native loader rejects is
+    retried through the torch state_dict converter (the reference's .pth
+    files), with a warning so genuinely corrupt native checkpoints are
+    not silently misrouted.
+    """
+    from scd_resnet_tpu.core.checkpoint import load_params_only
+    from scd_resnet_tpu.core.logging import Logger
+    from scd_resnet_tpu.train.registry import get_model_profile
+
+    profile = get_model_profile(arch)
+    net = profile.build()
+    try:
+        params, batch_stats = load_params_only(checkpoint_path)
+    except Exception as exc:
+        from scd_resnet_tpu.core.torch_convert import convert_pth_file
+
+        Logger.warn(":: wrapper :: not a native checkpoint ({}); trying "
+                    "the torch state_dict converter".format(exc))
+        params, batch_stats = convert_pth_file(
+            checkpoint_path, profile.model_params.get("num_layers", 10))
+    return make_wrapper(net, params, batch_stats)

@@ -107,20 +107,25 @@ def conv1x1(features: int, stride: int = 1, use_bias: bool = False,
 def max_pool_3x3_s2(x):
     """torch MaxPool2d(kernel=3, stride=2, padding=1) equivalent.
 
-    Deliberately the plain reduce_window lowering. Three
+    Deliberately the plain reduce_window lowering. Four
     SelectAndScatter-free gradient rewrites were measured in-step on v5e
-    (512^2/batch-32 bf16 stem segment, conv+BN+relu+pool fwd+bwd):
+    at the production shape (512^2/batch-32, 64-channel stem, bf16;
+    stem segment = conv+BN+relu+pool fwd+bwd; one canonical table in
+    docs/PERFORMANCE.md):
 
-      reduce_window (this)                       7.4 ms
+      reduce_window (this)                      12.7 ms
       9 stride-2-slice custom VJP               ~60 ms (2D strided slices)
-      separable fwd + parity-phase custom VJP   17.3 ms
-      separable fwd, plain autodiff             16.1 ms
+      separable fwd + parity-phase custom VJP   33.9 ms
+      full-res stencil-routing custom VJP       31.0 ms
+      hand-written Pallas scatter kernel        26.4 ms
+                              (tools/pool_bwd_pallas_probe.py)
 
-    The pool contributes only ~3.3 ms of the segment (4.1 ms poolless) —
-    XLA's SelectAndScatter gradient is already the fastest option at this
-    shape; phase/slice reconstructions lose to its fused scan. Negative
-    result recorded 2026-08 (round 2); do not revisit without new layout
-    tools.
+    The pool contributes ~6.6 ms of the segment (6.1 ms poolless; its
+    SelectAndScatter backward alone is 5.9) — XLA's fused scan is still
+    the fastest option at this shape. Negative result recorded 2026-08
+    (round 2); do not revisit without new layout tools. Gradient ties
+    route to the FIRST window maximum (matches torch; pinned by
+    tests/test_s2d_stem.py) — any replacement must preserve that.
     """
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

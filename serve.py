@@ -46,24 +46,14 @@ def main():
 
     if (args.model is None) == (args.checkpoint is None):
         parser.error("exactly one of -m (traced) or -c (checkpoint) required")
+    if args.mesh and not args.checkpoint:
+        parser.error("--mesh requires -c (the traced path is host-tiled, "
+                     "single-device)")
 
     if args.checkpoint:
-        from scd_resnet_tpu.core.checkpoint import load_params_only
-        from scd_resnet_tpu.infer.wrapper import make_wrapper
-        from scd_resnet_tpu.train.registry import get_model_profile
+        from scd_resnet_tpu.infer.wrapper import load_wrapper
 
-        profile = get_model_profile(args.arch)
-        net = profile.build()
-        try:
-            params, batch_stats = load_params_only(args.checkpoint)
-        except Exception:
-            from scd_resnet_tpu.core.torch_convert import convert_pth_file
-
-            Logger.warn(":: serve.py :: not a native checkpoint; converting "
-                        "torch state_dict")
-            params, batch_stats = convert_pth_file(
-                args.checkpoint, profile.model_params.get("num_layers", 10))
-        wrapper = make_wrapper(net, params, batch_stats)
+        wrapper = load_wrapper(args.checkpoint, args.arch)
         mesh = None
         if args.mesh:
             import jax

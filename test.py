@@ -76,23 +76,10 @@ def main():
     if args.checkpoint:
         # live-model path: fused on-device tiling (infer/analyse.py
         # make_device_analyzer), one analyzer per slide geometry
-        from scd_resnet_tpu.core.checkpoint import load_params_only
         from scd_resnet_tpu.infer.analyse import make_device_analyzer
-        from scd_resnet_tpu.infer.wrapper import make_wrapper
-        from scd_resnet_tpu.train.registry import get_model_profile
+        from scd_resnet_tpu.infer.wrapper import load_wrapper
 
-        profile = get_model_profile(args.arch)
-        net = profile.build()
-        try:
-            params, batch_stats = load_params_only(args.checkpoint)
-        except Exception:
-            from scd_resnet_tpu.core.torch_convert import convert_pth_file
-
-            Logger.warn(":: test.py :: not a native checkpoint; converting "
-                        "torch state_dict")
-            params, batch_stats = convert_pth_file(
-                args.checkpoint, profile.model_params.get("num_layers", 10))
-        wrapper = make_wrapper(net, params, batch_stats)
+        wrapper = load_wrapper(args.checkpoint, args.arch)
         Logger.info(":: test.py :: serving checkpoint {} as {} with "
                     "device-fused tiling".format(args.checkpoint, args.arch))
 

@@ -1,12 +1,15 @@
 """HTTP contract tests for the persistent serving daemon
-(scd_resnet_tpu/infer/server.py + serve.py): /healthz, /metrics, and
-/analyse with a real (tiny) model end-to-end — upload PNG bytes, get
-detections JSON back, analyzer cached per geometry, errors counted.
+(scd_resnet_tpu/infer/server.py + serve.py): /healthz, /metrics,
+/warmup, and /analyse with a real (tiny) model end-to-end — upload PNG
+bytes, get detections JSON back, analyzer cached per geometry (LRU),
+compile time excluded from serving counters, client errors answered 400
+without polluting the server-error metric.
 
 The reference's deployment host (libtorch C++ around the traced model,
 reference trace.py:15-17) has no test; this one pins the whole request
 path on the device-fused tiling analyzer."""
 
+import io
 import json
 import threading
 import urllib.request
@@ -23,14 +26,18 @@ from scd_resnet_tpu.models.center_net_offset import CenterNetResidual
 TINY = (8, 8, 16, 32, 64, 32, 32, 32)
 
 
-@pytest.fixture(scope="module")
-def server_url():
+def _make_service(**kwargs):
     model = CenterNetResidual(num_layers=10, dims=TINY, terminal_hidden=16)
     x = jnp.zeros((1, 64, 64, 1))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     wrapper = make_wrapper(model, variables["params"],
                            variables["batch_stats"])
-    service = InferenceService(wrapper=wrapper, dedupe_radius=None)
+    return InferenceService(wrapper=wrapper, **kwargs)
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    service = _make_service()
     httpd = create_server(service, "127.0.0.1", 0)
     port = httpd.server_address[1]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -54,8 +61,6 @@ def _post(url, data):
 
 
 def _png_bytes(array):
-    import io
-
     from PIL import Image
 
     buf = io.BytesIO()
@@ -73,6 +78,7 @@ def test_healthz(server_url):
 def test_analyse_roundtrip_and_metrics(server_url):
     rng = np.random.default_rng(0)
     slide = rng.integers(0, 255, (700, 900), np.uint8)
+    before = _get(server_url + "/metrics")
     status, payload = _post(server_url + "/analyse", _png_bytes(slide))
     assert status == 200
     assert payload["count"] == len(payload["detections"])
@@ -88,19 +94,58 @@ def test_analyse_roundtrip_and_metrics(server_url):
     assert status == 200
     assert second["count"] <= payload["count"]
 
-    health = _get(server_url + "/healthz")
-    assert health["geometries"] == ["900x700"]
+    assert "900x700" in _get(server_url + "/healthz")["geometries"]
 
-    metrics = _get(server_url + "/metrics")
-    assert metrics["requests"] == 2
-    assert metrics["clips"] > 0
-    assert metrics["clips_per_second"] > 0
+    after = _get(server_url + "/metrics")
+    assert after["requests"] == before["requests"] + 2
+    assert after["clips"] > before["clips"]
+    assert after["compiles"] == before["compiles"] + 1  # cache hit on #2
+    # first-compile time lands in compile_seconds, not serving busy time
+    assert after["compile_seconds"] > 0
+    assert after["clips_per_second"] > 0
 
 
-def test_analyse_error_counted(server_url):
+def test_16bit_grayscale_matches_8bit(server_url):
+    """16-bit scanner TIFF-style input must rescale, not wrap mod 256."""
+    rng = np.random.default_rng(1)
+    slide8 = rng.integers(0, 255, (700, 900), np.uint8)
+    slide16 = (slide8.astype(np.uint16) * 257)
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(slide16).save(buf, format="PNG")
+    status, p16 = _post(server_url + "/analyse", buf.getvalue())
+    assert status == 200
+    status, p8 = _post(server_url + "/analyse", _png_bytes(slide8))
+    assert status == 200
+    assert p16["detections"] == p8["detections"]
+
+
+def test_client_errors_are_400_not_server_errors(server_url):
+    before = _get(server_url + "/metrics")
     status, payload = _post(server_url + "/analyse", b"not an image")
-    assert status == 500 and "error" in payload
-    assert _get(server_url + "/metrics")["errors"] == 1
+    assert status == 400 and "error" in payload
+    status, _ = _post(server_url + "/analyse?dedupe=abc", b"")
+    assert status == 400
+    status, _ = _post(server_url + "/warmup?width=abc", b"")
+    assert status == 400
+    after = _get(server_url + "/metrics")
+    assert after["errors"] == before["errors"]  # client faults not counted
+
+
+def test_warmup_endpoint(server_url):
+    before = _get(server_url + "/metrics")
+    status, payload = _post(server_url + "/warmup?width=640&height=512", b"")
+    assert status == 200 and payload["compiled_seconds"] > 0
+    after = _get(server_url + "/metrics")
+    # warmup pre-compiles without polluting the serving counters
+    assert after["requests"] == before["requests"]
+    assert after["clips"] == before["clips"]
+    assert after["busy_seconds"] == before["busy_seconds"]
+    assert after["warmups"] == before["warmups"] + 1
+    assert after["compiles"] == before["compiles"] + 1
+    assert "640x512" in _get(server_url + "/healthz")["geometries"]
 
 
 def test_unknown_routes(server_url):
@@ -113,16 +158,8 @@ def test_service_requires_exactly_one_model():
         InferenceService()
 
 
-def test_warmup_endpoint(server_url):
-    before = _get(server_url + "/metrics")
-    status, payload = _post(server_url + "/warmup?width=640&height=512", b"")
-    assert status == 200 and payload["compiled_seconds"] > 0
-    after = _get(server_url + "/metrics")
-    # warmup pre-compiles the analyzer without polluting serving counters
-    assert after["requests"] == before["requests"]
-    assert after["clips"] == before["clips"]
-    assert after["warmups"] == before.get("warmups", 0) + 1
-    assert "640x512" in _get(server_url + "/healthz")["geometries"]
-
-    status, payload = _post(server_url + "/warmup?width=abc", b"")
-    assert status == 400
+def test_analyzer_cache_is_lru_bounded():
+    service = _make_service(max_geometries=1)
+    service.warmup(576, 512)
+    service.warmup(640, 512)
+    assert service.health()["geometries"] == ["640x512"]
