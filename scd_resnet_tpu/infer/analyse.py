@@ -304,7 +304,20 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
         futures = [device_rows(jnp.asarray(g, jnp.uint8)) for g in grays]
         return [_finish(np.asarray(f)) for f in futures]
 
+    def dispatch(gray: np.ndarray):
+        """Enqueue the device program and return its result future
+        (async jit dispatch — does not block on compute)."""
+        return device_rows(jnp.asarray(gray, jnp.uint8))
+
+    def finish(future) -> List[List[float]]:
+        """Block on a :func:`dispatch` future and stitch detections
+        (the host-side half; safe to run while another dispatch's
+        device program executes)."""
+        return _finish(np.asarray(future))
+
     analyse.many = analyse_many
+    analyse.dispatch = dispatch
+    analyse.finish = finish
     return analyse
 
 

@@ -110,17 +110,27 @@ class InferenceService:
                      dedupe: Optional[float] = None):
         """[[x, y, rhr], ...] for a uint8-range grayscale slide."""
         height, width = gray.shape
-        with self._device_lock:
-            if self._wrapper is not None:
+        if self._wrapper is not None:
+            # hold the device lock only for the async dispatch: the
+            # readback + host-side stitch of this request then overlap
+            # the next request's device program (jit dispatch enqueues;
+            # the device executes programs in order anyway)
+            with self._device_lock:
                 analyzer = self._analyzer(width, height)
                 t0 = time.perf_counter()
-                detections = analyzer(gray)
-            else:
+                future = analyzer.dispatch(gray)
+            detections = analyzer.finish(future)
+            # dispatch->finish wall time; under concurrent load the
+            # per-request spans overlap, so summed busy_seconds can
+            # exceed wall clock
+            elapsed = time.perf_counter() - t0
+        else:
+            with self._device_lock:
                 model, input_shape = self._traced
                 t0 = time.perf_counter()
                 detections = analyse_grayscale(
                     model, gray, batch_size=input_shape[0])
-            elapsed = time.perf_counter() - t0
+                elapsed = time.perf_counter() - t0
         radius = self._dedupe if dedupe is None else dedupe
         if radius is not None:
             detections = dedupe_detections(detections, radius)

@@ -12,7 +12,7 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def test_sweep_configs_resolve():
-    paths = sorted(glob.glob(os.path.join(REPO, "configs", "exp*.json")))
+    paths = sorted(glob.glob(os.path.join(REPO, "configs", "exp[0-9]*.json")))
     assert len(paths) == 13  # exp74..exp86
     for path in paths:
         cfg = Configuration()

@@ -163,3 +163,21 @@ def test_analyzer_cache_is_lru_bounded():
     service.warmup(576, 512)
     service.warmup(640, 512)
     assert service.health()["geometries"] == ["640x512"]
+
+
+def test_concurrent_requests_pipeline(server_url):
+    """Concurrent /analyse requests must all succeed and agree with the
+    serial result (device dispatch is lock-serialized; readback+stitch
+    overlap)."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(2)
+    slide = rng.integers(0, 255, (700, 900), np.uint8)
+    png = _png_bytes(slide)
+    _, serial = _post(server_url + "/analyse", png)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(
+            lambda _: _post(server_url + "/analyse", png), range(4)))
+    for status, payload in results:
+        assert status == 200
+        assert payload["detections"] == serial["detections"]
