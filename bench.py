@@ -390,6 +390,18 @@ def main():
     parser.add_argument("--refresh-baseline", action="store_true")
     args = parser.parse_args()
 
+    # serving throughput is host-sensitive (tiling/stitch run on the one
+    # CPU core): a busy host measured ~40% lower than idle on the same
+    # build — flag it rather than silently record a degraded number
+    import os
+    import sys
+
+    load1 = os.getloadavg()[0]
+    if load1 > 0.5:
+        print("bench.py: WARNING host load average {:.2f} — serving "
+              "numbers degrade under load; re-run idle".format(load1),
+              file=sys.stderr)
+
     size = 128 if args.quick else 512
     batch = 8 if args.quick else args.batch
     steps = 5 if args.quick else args.steps

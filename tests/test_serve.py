@@ -181,3 +181,30 @@ def test_concurrent_requests_pipeline(server_url):
     for status, payload in results:
         assert status == 200
         assert payload["detections"] == serial["detections"]
+
+
+def test_traced_bundle_service(tmp_path):
+    """The -m path: a StableHLO bundle served via the host-tiled
+    analyzer must agree with the device-fused wrapper path."""
+    from scd_resnet_tpu.infer.wrapper import load_traced, save_traced
+
+    model = CenterNetResidual(num_layers=10, dims=TINY, terminal_hidden=16)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    wrapper = make_wrapper(model, variables["params"],
+                           variables["batch_stats"])
+    path = str(tmp_path / "tiny.pt")
+    save_traced(path, wrapper, (4, 512, 512, 1))
+
+    svc_traced = InferenceService(traced=load_traced(path))
+    svc_live = InferenceService(wrapper=wrapper)
+    assert svc_traced.health()["mode"] == "traced"
+    assert svc_traced.warmup(704, 576) == 0.0  # no per-geometry programs
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 255, (576, 704)).astype(np.float32)
+    det_traced = svc_traced.analyse_gray(gray)
+    det_live = svc_live.analyse_gray(gray)
+    assert len(det_traced) == len(det_live)
+    for a, b in zip(sorted(det_traced), sorted(det_live)):
+        np.testing.assert_allclose(a, b, atol=1e-3)
