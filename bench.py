@@ -126,11 +126,9 @@ def _synthetic_slide(width: int, height: int) -> "np.ndarray":
 
 
 def _slide_clip_count(width: int, height: int) -> int:
-    from scd_resnet_tpu.infer.analyse import INPUT_SIZE, PADDING_SIZE
+    from scd_resnet_tpu.infer.analyse import slide_geometry
 
-    stride = INPUT_SIZE - 2 * PADDING_SIZE
-    clip_h = math.ceil((width - 2 * PADDING_SIZE) / stride)
-    clip_v = math.ceil((height - 2 * PADDING_SIZE) / stride)
+    clip_h, clip_v, _, _ = slide_geometry(width, height)
     return clip_h * clip_v
 
 
@@ -412,7 +410,7 @@ def main():
 
     train_value = bench_jax(batch, size, steps, args.warmup)
     infer_value, infer_pipelined = bench_jax_infer_slide(
-        slide_w, slide_h, slide_reps, 1, slide_batch)
+        slide_w, slide_h, slide_reps, args.warmup, slide_batch)
 
     cache = {}
     if os.path.exists(BASELINE_CACHE):

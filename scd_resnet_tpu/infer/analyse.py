@@ -90,6 +90,28 @@ def analyse_images(model: Callable, full_path: str,
     return analyse_grayscale(model, gray, dedupe_radius, batch_size)
 
 
+def coerce_gray_u8(gray: np.ndarray) -> np.ndarray:
+    """Coerce a grayscale slide into the [0, 255] uint8 range the
+    device-fused analyzer uploads.
+
+    uint8 passes through; 16-bit scanner output rescales (x/257); other
+    integer/float arrays are peak-rescaled when they exceed 255, else
+    rounded and clipped. Guards the uint8 upload cast in
+    :func:`make_device_analyzer` — without this a >8-bit slide would
+    wrap modulo 256 into structured noise and serve garbage detections
+    with no error."""
+    gray = np.asarray(gray)
+    if gray.dtype == np.uint8:
+        return gray
+    if gray.dtype == np.uint16:
+        return np.round(gray / 257.0).astype(np.uint8)
+    work = np.asarray(gray, np.float64)
+    peak = float(work.max()) if work.size else 0.0
+    if peak > 255.0:
+        work = work * (255.0 / peak)
+    return np.clip(np.round(work), 0.0, 255.0).astype(np.uint8)
+
+
 def dedupe_detections(detections: List[List[float]],
                       radius: float) -> List[List[float]]:
     """Greedy duplicate suppression for tile-overlap double detections.
@@ -293,21 +315,23 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
 
     def analyse(gray: np.ndarray) -> List[List[float]]:
         # uint8 upload: grayscale_inference output is already rounded to
-        # [0, 255], so the cast is exact and 4x smaller on the wire
-        return _finish(np.asarray(device_rows(jnp.asarray(gray, jnp.uint8))))
+        # [0, 255] so the conversion is exact, and 4x smaller on the wire
+        return _finish(np.asarray(device_rows(
+            jnp.asarray(coerce_gray_u8(gray)))))
 
     def analyse_many(grays) -> List[List[List[float]]]:
         """Pipelined multi-slide pass: every slide's device program is
         dispatched before any result is read back, so uploads and compute
         of slide i+1 overlap the host threshold/stitch of slide i (jit
         dispatch is asynchronous; ``np.asarray`` is the sync point)."""
-        futures = [device_rows(jnp.asarray(g, jnp.uint8)) for g in grays]
+        futures = [device_rows(jnp.asarray(coerce_gray_u8(g)))
+                   for g in grays]
         return [_finish(np.asarray(f)) for f in futures]
 
     def dispatch(gray: np.ndarray):
         """Enqueue the device program and return its result future
         (async jit dispatch — does not block on compute)."""
-        return device_rows(jnp.asarray(gray, jnp.uint8))
+        return device_rows(jnp.asarray(coerce_gray_u8(gray)))
 
     def finish(future) -> List[List[float]]:
         """Block on a :func:`dispatch` future and stitch detections

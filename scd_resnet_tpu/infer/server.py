@@ -44,6 +44,7 @@ import numpy as np
 
 from scd_resnet_tpu.infer.analyse import (
     analyse_grayscale,
+    coerce_gray_u8,
     dedupe_detections,
     make_device_analyzer,
     slide_geometry,
@@ -164,28 +165,20 @@ class InferenceService:
             color = np.asarray(image)
         except UnidentifiedImageError as exc:
             raise ClientError("unreadable image: {}".format(exc)) from exc
+        if not (np.issubdtype(color.dtype, np.integer)
+                or np.issubdtype(color.dtype, np.floating)):
+            raise ClientError(
+                "unsupported image dtype {}".format(color.dtype))
         if color.ndim == 2:
-            # already grayscale; rescale >8-bit scanner output (16-bit
-            # TIFF etc.) instead of letting the device path wrap it
-            # modulo 256 through its uint8 upload cast
-            if color.dtype == np.uint8:
-                gray = color.astype(np.float32)
-            elif color.dtype == np.uint16:
-                gray = np.round(color / 257.0).astype(np.float32)
-            elif np.issubdtype(color.dtype, np.integer) or \
-                    np.issubdtype(color.dtype, np.floating):
-                peak = float(color.max()) if color.size else 0.0
-                if peak > 255.0:
-                    gray = np.round(
-                        np.asarray(color, np.float64) * (255.0 / peak)
-                    ).astype(np.float32)
-                else:
-                    gray = np.clip(color, 0, 255).astype(np.float32)
-            else:
-                raise ClientError(
-                    "unsupported image dtype {}".format(color.dtype))
+            # already grayscale; >8-bit scanner output (16-bit TIFF etc.)
+            # is rescaled by coerce_gray_u8 instead of wrapping mod 256
+            # through the device path's uint8 upload cast
+            gray = coerce_gray_u8(color).astype(np.float32)
         elif color.ndim == 3 and color.shape[-1] >= 3:
-            gray = grayscale_inference(color[..., :3])
+            # normalize >8-bit color into 8-bit range (one shared scale,
+            # preserving color balance) before the BGR-weighted
+            # grayscale conversion
+            gray = grayscale_inference(coerce_gray_u8(color[..., :3]))
         else:
             raise ClientError(
                 "unsupported image shape {}".format(color.shape))

@@ -211,6 +211,14 @@ class StemConv7x7S2(nn.Module):
             nn.initializers.lecun_normal(),  # nn.Conv's default
             (7, 7, c_in, self.features),
         )
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            # odd spatial sizes do not split into 2x2 blocks — use the
+            # plain lowering (same kernel parameter, same result)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         # regroup kernel: pad to 8x8 with a leading zero row/col so tap
         # a maps to index a+1 = 2*al + u, then split (al, u) per axis
         kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))

@@ -70,8 +70,12 @@ def main():
 
     from scd_resnet_tpu.core.logging import Logger
 
-    if not args.model and not args.checkpoint:
-        parser.error("one of -m (traced bundle) or -c (checkpoint) required")
+    if (args.model is None) == (args.checkpoint is None):
+        parser.error("exactly one of -m (traced bundle) or -c (checkpoint) "
+                     "required")
+    if args.mesh and not args.checkpoint:
+        parser.error("--mesh requires -c (the traced path is host-tiled, "
+                     "single-device)")
 
     if args.checkpoint:
         # live-model path: fused on-device tiling (infer/analyse.py

@@ -199,3 +199,21 @@ def test_device_analyzer_mesh_sharded_matches_single():
     sharded = make_device_analyzer(wrapper, 900, 600, mesh=mesh)(gray)
     assert len(single) > 0
     assert sharded == single
+
+
+def test_coerce_gray_u8_bit_depths():
+    """The device analyzer's uint8 upload boundary must rescale >8-bit
+    slides, not wrap them modulo 256 (infer/analyse.coerce_gray_u8)."""
+    from scd_resnet_tpu.infer.analyse import coerce_gray_u8
+
+    u8 = np.array([[0, 128, 255]], np.uint8)
+    assert coerce_gray_u8(u8) is u8  # pass-through, no copy
+    u16 = u8.astype(np.uint16) * 257
+    np.testing.assert_array_equal(coerce_gray_u8(u16), u8)
+    f = np.array([[0.0, 1000.0, 2000.0]])
+    np.testing.assert_array_equal(coerce_gray_u8(f),
+                                  np.array([[0, 128, 255]], np.uint8))
+    small = np.array([[-3.0, 100.4, 300.0]])
+    np.testing.assert_array_equal(
+        coerce_gray_u8(small), np.array([[0, 85, 255]], np.uint8))
+    assert coerce_gray_u8(np.zeros((0, 0))).shape == (0, 0)

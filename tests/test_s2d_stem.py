@@ -143,3 +143,18 @@ def test_max_pool_gradient_matches_torch_tie_routing():
             np.testing.assert_allclose(
                 np.asarray(g), xt.grad.numpy().transpose(0, 2, 3, 1),
                 atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_stem_odd_sizes_fall_back_exactly():
+    """Odd spatial inputs can't split into 2x2 blocks; the module must
+    fall back to the plain lowering with the same kernel parameter."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 65, 63, 1))
+    stem = StemConv7x7S2(8)
+    variables = stem.init(jax.random.PRNGKey(5), x)
+    got = stem.apply(variables, x)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(variables["params"]["kernel"]), (2, 2),
+        ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.shape == ref.shape == (1, 33, 32, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -248,8 +248,20 @@ function swapEnds() {
 }
 async function save() {
   if (!current) return;
-  const res = await fetch("api/markers/" + encodeURIComponent(current),
-    { method: "POST", body: JSON.stringify(markers) });
+  let res;
+  try {
+    res = await fetch("api/markers/" + encodeURIComponent(current),
+      { method: "POST", body: JSON.stringify(markers) });
+  } catch (err) {
+    msg("SAVE FAILED: " + err, true);
+    return;  // keep the dirty flag — nothing was written
+  }
+  if (!res.ok) {
+    let detail = res.status;
+    try { detail = (await res.json()).error || detail; } catch (e) {}
+    msg("SAVE FAILED: " + detail, true);
+    return;  // keep the dirty flag
+  }
   const report = await res.json();
   setDirty(false);
   msg(report.problems.length
