@@ -30,8 +30,13 @@ def save_checkpoint(path: str, params, batch_stats, opt_state, step: int) -> Non
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     data = serialization.to_bytes(payload)
-    with open(path, "wb") as f:
+    # atomic replace: a hard kill mid-write (the preemption deadline this
+    # save exists for) must not leave a truncated file where the resume
+    # hint points
+    tmp_path = path + ".tmp"
+    with open(tmp_path, "wb") as f:
         f.write(data)
+    os.replace(tmp_path, path)
 
 
 def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:

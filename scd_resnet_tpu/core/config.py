@@ -192,6 +192,10 @@ class Configuration:
         return self.config["namingOptimizer"]
 
     @property
+    def storageDtype(self) -> str:
+        return self.config["storageDtype"]
+
+    @property
     def dirData(self) -> str:
         return self._fmt("dirData")
 

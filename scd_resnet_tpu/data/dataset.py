@@ -121,6 +121,7 @@ class SCDDataset:
                 json.dump(self.data_profile, f)
 
         self._rng = rng
+        self._seed = seed
         self._build_validation()
         Logger.log(
             "Dataset ready: {} training / {} validation clips".format(
@@ -212,8 +213,28 @@ class SCDDataset:
     def __len__(self) -> int:
         return len(self.order)
 
+    def _epoch_order(self, epoch: Optional[int]) -> np.ndarray:
+        """The shuffled train order for one epoch.
+
+        ``epoch`` keyed (seed, epoch): deterministic per epoch number, so
+        a resumed run replays exactly the epochs it would have seen —
+        NOT a stateful stream that restarts from epoch 1 on resume. With
+        ``epoch=None`` falls back to the legacy in-place stateful
+        shuffle."""
+        if epoch is None:
+            self._rng.shuffle(self.order)
+            return np.asarray(self.order)
+        rng = np.random.default_rng((self._seed, 7919, int(epoch)))
+        order = np.asarray(self.order)
+        return order[rng.permutation(len(order))]
+
+    def steps_per_epoch(self, batch_size: int, shard_count: int = 1,
+                        shard_index: int = 0) -> int:
+        """Batches one epoch yields for this host's shard (drop_last)."""
+        return len(self.order[shard_index::shard_count]) // batch_size
+
     def epoch_batches(self, batch_size: int, shard_count: int = 1,
-                      shard_index: int = 0
+                      shard_index: int = 0, epoch: Optional[int] = None
                       ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """One epoch of raw (samples, locs, counts) batches, drop_last.
 
@@ -222,8 +243,7 @@ class SCDDataset:
         for multi-host training; within a host the global batch is sharded
         across devices by the train step's input shardings.
         """
-        self._rng.shuffle(self.order)
-        order = np.asarray(self.order[shard_index::shard_count])
+        order = self._epoch_order(epoch)[shard_index::shard_count]
         for start in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
             yield self.samples[idx], self.locs[idx], self.counts[idx]
@@ -247,15 +267,28 @@ class SCDDataset:
         local_train = [np.arange(per) for _ in range(num_shards)]
         return shard_rows, local_train
 
+    def steps_per_epoch_resident(self, batch_size: int, num_shards: int,
+                                 local_train) -> int:
+        per_dev = batch_size // num_shards
+        return min(len(t) for t in local_train) // per_dev
+
     def epoch_local_indices(self, batch_size: int, num_shards: int,
-                            local_train) -> Iterator[np.ndarray]:
+                            local_train, epoch: Optional[int] = None
+                            ) -> Iterator[np.ndarray]:
         """One epoch of per-device LOCAL index batches, (num_shards *
-        batch_size/num_shards,) concatenated device-major, drop_last."""
+        batch_size/num_shards,) concatenated device-major, drop_last.
+        ``epoch`` selects a deterministic per-epoch shuffle (see
+        :meth:`_epoch_order`); ``None`` keeps the legacy stateful one."""
         per_dev = batch_size // num_shards
         orders = []
         for d in range(num_shards):
             arr = local_train[d].copy()
-            self._rng.shuffle(arr)
+            if epoch is None:
+                self._rng.shuffle(arr)
+            else:
+                rng = np.random.default_rng(
+                    (self._seed, 104729, int(epoch), d))
+                arr = arr[rng.permutation(len(arr))]
             orders.append(arr)
         steps = min(len(o) for o in orders) // per_dev
         for s in range(steps):

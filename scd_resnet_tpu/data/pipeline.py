@@ -22,7 +22,11 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from scd_resnet_tpu.ops.augment import flip_locs_horizontal, flip_locs_vertical
+from scd_resnet_tpu.ops.augment import (
+    flip_locs_horizontal,
+    flip_locs_vertical,
+    normalize,
+)
 from scd_resnet_tpu.ops.gaussian import render_heatmap
 
 THRESHOLD_IOU = 0.5  # scdx16p100.py:52
@@ -70,10 +74,10 @@ def augment_and_render_batch(key, samples, locs, counts, heat_size: int,
         locs = jnp.where(flip_v[:, None, None],
                          flip_locs_vertical(locs, heat_size), locs)
 
-    # per-image standardization (argumentations.py:40-44)
-    mean = samples.mean(axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(samples - mean), axis=(1, 2), keepdims=True)
-    samples = (samples - mean) / jnp.sqrt(var)
+    # per-image standardization — ops/augment.normalize is the canonical
+    # definition (incl. the constant-clip zero guard: one NaN sample
+    # would poison the whole batch through BatchNorm)
+    samples = jax.vmap(normalize)(samples)
 
     if augment:
         gauss = jax.random.normal(k_jit, (b, 1, 1), jnp.float32)

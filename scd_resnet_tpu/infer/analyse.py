@@ -42,6 +42,8 @@ def gauss2(x, a1, m1, s1, a2, m2, s2):
 def _normalize(clip: np.ndarray) -> np.ndarray:
     mean = clip.mean()
     var = np.mean((clip - mean) ** 2)
+    if var <= 0:  # constant clip (blank padding region): no information
+        return np.zeros_like(clip)
     return (clip - mean) / math.sqrt(var)
 
 
@@ -247,7 +249,9 @@ def make_device_tiler(width: int, height: int) -> Callable:
         ])
         mean = clips.mean(axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(clips - mean), axis=(1, 2), keepdims=True)
-        return (clips - mean) / jnp.sqrt(var)
+        # constant clips (blank slide corners) -> zeros, not 0/0 NaN
+        safe_var = jnp.where(var > 0, var, 1.0)
+        return jnp.where(var > 0, (clips - mean) / jnp.sqrt(safe_var), 0.0)
 
     return tiler
 

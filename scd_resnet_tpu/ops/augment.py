@@ -49,11 +49,19 @@ def _mode_value(mode, default):
 
 def normalize(image):
     """Standardize to zero mean / unit variance over the whole image
-    (argumentations.py:40-44; population variance, no epsilon)."""
+    (argumentations.py:40-44; population variance, no epsilon).
+
+    A CONSTANT image (possible after float16/uint8 storage quantization
+    of a blank background tile) maps to zeros instead of 0/0 = NaN — the
+    reference never guarded this because its torch path ran f32 from
+    source scans, but one NaN sample here would poison the whole batch
+    through BatchNorm statistics. Non-constant images are bit-identical
+    to the unguarded form."""
     image = jnp.asarray(image, jnp.float32)
     mean = image.mean()
     var = jnp.mean(jnp.square(image - mean))
-    return (image - mean) / jnp.sqrt(var)
+    safe_var = jnp.where(var > 0, var, 1.0)
+    return jnp.where(var > 0, (image - mean) / jnp.sqrt(safe_var), 0.0)
 
 
 def uniform_noise(key, image, stdvar: float = 0.05):

@@ -112,7 +112,7 @@ class NetworkFactory:
                 train_subset=ds_profile.train_subset,
                 split_profile_path=cfg.dirDataSplitProfile,
                 seed=seed,
-                storage_dtype=cfg.config.get("storageDtype", "float32"),
+                storage_dtype=cfg.storageDtype,
             )
         self.dataset = dataset
         self.heat_size = dataset.heat_size
@@ -166,7 +166,12 @@ class NetworkFactory:
         self._validate_step = self._build_validate_step()
         self._validate_step_unsharded = self._build_validate_step_unsharded()
         self._augment = self._build_augment()
-        self._rng = jax.random.PRNGKey(seed + 1)
+        # per-step augmentation keys are DERIVED (fold_in of the step
+        # counter), not drawn from a sequential stream: a resumed run
+        # continues the exact key sequence instead of replaying it from
+        # the start (counter restored from currentIter below)
+        self._base_key = jax.random.PRNGKey(seed + 1)
+        self._aug_step = int(cfg.currentIteration)
         self._stop_requested = False
         self.preempted = False
         self._setup_residency()
@@ -299,7 +304,7 @@ class NetworkFactory:
         mode = cfg.config.get("residency", "auto")
         if mode == "host" or jax.process_count() > 1:
             return
-        storage = cfg.config.get("storageDtype", "float16")
+        storage = cfg.storageDtype
         n_dev = self.mesh.devices.size
         itemsize = {"float32": 4, "float16": 2, "uint8": 1}[storage]
         clip_elems = int(np.prod(self.dataset.samples.shape[1:]))
@@ -318,6 +323,11 @@ class NetworkFactory:
             )
             return
         if cfg.batchSize % n_dev != 0:
+            if mode == "device":
+                Logger.warn(
+                    ":: factory :: residency='device' requested but "
+                    "batchSize {} is not divisible by {} devices; "
+                    "streaming from host".format(cfg.batchSize, n_dev))
             return
 
         rows, local_train = self.dataset.device_shards(n_dev)
@@ -476,7 +486,8 @@ class NetworkFactory:
         return out
 
     def train_resident(self, idx: np.ndarray) -> Tuple[Any, List[Any]]:
-        self._rng, key = jax.random.split(self._rng)
+        key = jax.random.fold_in(self._base_key, self._aug_step)
+        self._aug_step += 1
         idx = jax.device_put(idx, self._batch_shard)
         (self.params, self.batch_stats, self.opt_state, loss, stats) = (
             self._train_step_resident(
@@ -495,6 +506,11 @@ class NetworkFactory:
         return os.path.join(self.config.dirTemp, self.config.naming)
 
     def save_parameters(self) -> None:
+        # multi-host: params/opt_state are replicated, so only process 0
+        # writes — concurrent writers to a shared dirTemp would corrupt
+        # the file (the reference was single-node and never hit this)
+        if jax.process_index() != 0:
+            return
         save_checkpoint(
             self._checkpoint_path(), self.params, self.batch_stats,
             self.opt_state, self.config.currentIteration,
@@ -522,7 +538,8 @@ class NetworkFactory:
     # ---- public steps ------------------------------------------------------
 
     def train(self, samples, locs, counts) -> Tuple[float, List[float]]:
-        self._rng, key = jax.random.split(self._rng)
+        key = jax.random.fold_in(self._base_key, self._aug_step)
+        self._aug_step += 1
         samples, locs, counts = (
             jax.device_put(samples, self._batch_shard),
             jax.device_put(locs, self._batch_shard),
@@ -604,6 +621,9 @@ class NetworkFactory:
             nonlocal loss_rows
             if not loss_rows:
                 return
+            if jax.process_index() != 0:  # one writer on shared storage
+                loss_rows = []
+                return
             rows = np.asarray(jax.device_get(loss_rows), np.float64)
             np.savetxt(
                 os.path.join(
@@ -619,22 +639,49 @@ class NetworkFactory:
         shard_count = jax.process_count()
         shard_index = jax.process_index()
 
-        def epoch_iterator():
+        if self.resident:
+            steps_per_epoch = self.dataset.steps_per_epoch_resident(
+                cfg.batchSize, self._n_dev, self._local_train)
+        else:
+            steps_per_epoch = self.dataset.steps_per_epoch(
+                cfg.batchSize, shard_count, shard_index)
+        if steps_per_epoch == 0:
+            raise RuntimeError(
+                "this host's dataset shard ({} of {} rows over {} host(s)) "
+                "yields no batches of size {}".format(
+                    len(self.dataset.order[shard_index::shard_count]),
+                    len(self.dataset), shard_count, cfg.batchSize))
+
+        # epoch fast-forward: a resumed run continues the (seed, epoch)-
+        # keyed shuffle sequence mid-epoch instead of replaying the data
+        # schedule from epoch 1
+        epoch = it // steps_per_epoch
+        skip = it % steps_per_epoch
+
+        def epoch_iterator(epoch: int, skip: int):
             if self.resident:
-                for idx in self.dataset.epoch_local_indices(
-                    cfg.batchSize, self._n_dev, self._local_train
-                ):
-                    yield ("resident", idx)
+                gen = self.dataset.epoch_local_indices(
+                    cfg.batchSize, self._n_dev, self._local_train,
+                    epoch=epoch)
+                kind = "resident"
             else:
-                for batch in self.dataset.epoch_batches(
-                    cfg.batchSize, shard_count, shard_index
-                ):
-                    yield ("host", batch)
+                gen = self.dataset.epoch_batches(
+                    cfg.batchSize, shard_count, shard_index, epoch=epoch)
+                kind = "host"
+            for i, payload in enumerate(gen):
+                if i < skip:
+                    continue
+                yield kind, payload
 
         finished = False
         try:
             while not finished:
-                for kind, payload in epoch_iterator():
+                for kind, payload in epoch_iterator(epoch, skip):
+                    if it >= total:
+                        # resume called with a completed schedule: do not
+                        # run an unscheduled extra step
+                        finished = True
+                        break
                     cfg.update_iteration(it)
                     it += 1
 
@@ -671,6 +718,7 @@ class NetworkFactory:
                         if not np.isfinite(float(loss)):
                             cfg.update_iteration(it)
                             self.save_parameters()
+                            flush_rows(it)  # keep the divergence lead-up
                             raise FloatingPointError(
                                 "non-finite loss at iteration {}; state saved to "
                                 "{}".format(it, self._checkpoint_path())
@@ -717,8 +765,18 @@ class NetworkFactory:
                         finished = True
                     if finished:
                         break
-                if len(self.dataset) < cfg.batchSize:
-                    raise RuntimeError("dataset smaller than one batch")
+                skip = 0
+                epoch += 1
+
+            # normal completion off a snapshot boundary: persist the final
+            # state and pending loss rows (e.g. 13,200 iters with
+            # snapshot=2000 would otherwise silently drop the last 1,200
+            # iterations of weights and rows)
+            if (not self.preempted and steps_this_run > 0
+                    and it % cfg.snapshotFrequency != 0):
+                cfg.update_iteration(it)
+                self.save_parameters()
+                flush_rows(it)
 
         finally:
             progress.clear()
@@ -726,9 +784,10 @@ class NetworkFactory:
             profiler.close()
             for sig, handler in prev_handlers.items():
                 _signal.signal(sig, handler)
-            with open(
-                os.path.join(cfg.dirResult,
-                             "evals.{}.txt".format(cfg.trainName)),
-                "w",
-            ) as f:
-                f.writelines(eval_lines)
+            if jax.process_index() == 0:  # one writer on shared storage
+                with open(
+                    os.path.join(cfg.dirResult,
+                                 "evals.{}.txt".format(cfg.trainName)),
+                    "w",
+                ) as f:
+                    f.writelines(eval_lines)

@@ -58,3 +58,47 @@ def test_storage_dtype_compacts(tmp_path):
     ds = _dataset(tmp_path, argument_ratio=4, partition=1.0,
                   train_subset="t", storage_dtype="uint8")
     assert ds.samples.dtype == np.uint8
+
+
+def test_epoch_keyed_shuffle_resume_exact(tmp_path):
+    """(seed, epoch)-keyed epoch orders: deterministic per epoch and
+    resumable mid-stream — a resumed run must see exactly the batches an
+    uninterrupted run would have, not a replay of epoch 1 (factory
+    resume schedule; the legacy stateful shuffle restarts instead)."""
+    ds = _dataset(tmp_path)
+    bs = 4
+
+    def batch_ids(epoch):
+        # first column of sample indices is enough to identify batches
+        return [tuple(s[:, 0, 0].tolist())
+                for s, _, _ in ds.epoch_batches(bs, epoch=epoch)]
+
+    assert batch_ids(0) == batch_ids(0)      # deterministic
+    assert batch_ids(0) != batch_ids(1)      # epochs differ
+    spe = ds.steps_per_epoch(bs)
+    assert spe == len(ds) // bs and spe >= 1
+
+    # resident mode: same guarantees per device shard
+    rows, local = ds.device_shards(2)
+    a = list(ds.epoch_local_indices(bs, 2, local, epoch=3))
+    b = list(ds.epoch_local_indices(bs, 2, local, epoch=3))
+    c = list(ds.epoch_local_indices(bs, 2, local, epoch=4))
+    assert all((x == y).all() for x, y in zip(a, b))
+    assert any((x != y).any() for x, y in zip(a, c))
+    assert ds.steps_per_epoch_resident(bs, 2, local) == len(a)
+
+
+def test_steps_per_epoch_zero_shard():
+    """A host shard smaller than one batch must be detectable (the
+    factory raises instead of spinning in an empty epoch loop)."""
+    import numpy as np
+
+    class _Stub:
+        order = list(range(5))
+
+        def __len__(self):
+            return 5
+
+    from scd_resnet_tpu.data.dataset import SCDDataset
+
+    assert SCDDataset.steps_per_epoch(_Stub(), 8, 2, 1) == 0

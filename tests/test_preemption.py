@@ -79,6 +79,7 @@ def test_stop_request_checkpoints_and_exits(tmp_path):
     factory2 = NetworkFactory(cfg, dataset)
     factory2.begin_training()
     assert not factory2.preempted
-    # update_iteration runs before each step, so a completed schedule
-    # leaves currentIter == iterations - 1
-    assert cfg.currentIteration == stopped_at + 1
+    # normal completion persists the final state: currentIter lands on
+    # the schedule total and the checkpoint at that step exists
+    assert cfg.currentIteration == stopped_at + 2
+    assert os.path.exists(factory2._checkpoint_path())

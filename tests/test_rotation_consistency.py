@@ -49,3 +49,22 @@ def test_rotate_vectors_preserve_norm():
     np.testing.assert_allclose(maj_after, maj_before, atol=1e-5)
     # zero offsets stay exactly zero (the reference's modMask handling)
     assert out[2, 2] == 0.0 and out[2, 3] == 0.0
+
+
+def test_normalize_constant_image_is_zero_not_nan():
+    """A constant clip (float16/uint8-quantized blank tile) must map to
+    zeros, not 0/0 NaN — one NaN sample would poison the whole batch
+    through BatchNorm statistics. Non-constant images keep the exact
+    unguarded arithmetic (argumentations.py:40-44)."""
+    import numpy as np
+
+    from scd_resnet_tpu.ops.augment import normalize
+
+    const = normalize(np.full((8, 8), 180.0, np.float32))
+    assert np.all(np.asarray(const) == 0.0)
+
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    out = np.asarray(normalize(x))
+    mean = x.mean()
+    var = ((x - mean) ** 2).mean()
+    np.testing.assert_array_equal(out, (x - mean) / np.sqrt(var))
