@@ -230,21 +230,35 @@ class SCDDataset:
 
     def steps_per_epoch(self, batch_size: int, shard_count: int = 1,
                         shard_index: int = 0) -> int:
-        """Batches one epoch yields for this host's shard (drop_last)."""
-        return len(self.order[shard_index::shard_count]) // batch_size
+        """Batches one epoch yields per host (drop_last).
+
+        Computed from the SMALLEST host shard so every host agrees on
+        the epoch length — per-host counts would let hosts advance to
+        different epoch permutations when the order does not split
+        evenly (duplicating/omitting clips across the data-parallel
+        group) and would let one host raise while the others hang in
+        collectives."""
+        del shard_index  # same answer on every host by construction
+        return (len(self.order) // shard_count) // batch_size
 
     def epoch_batches(self, batch_size: int, shard_count: int = 1,
-                      shard_index: int = 0, epoch: Optional[int] = None
+                      shard_index: int = 0, epoch: Optional[int] = None,
+                      skip: int = 0
                       ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """One epoch of raw (samples, locs, counts) batches, drop_last.
 
         ``shard_count``/``shard_index`` give per-host sharding of the epoch
         order — the DistributedSampler equivalent (networkFactory.py:106-108)
         for multi-host training; within a host the global batch is sharded
-        across devices by the train step's input shardings.
+        across devices by the train step's input shardings. Every host
+        yields exactly :meth:`steps_per_epoch` batches. ``skip`` starts
+        ``skip`` batches into the epoch (resume fast-forward) without
+        materializing the skipped batches.
         """
         order = self._epoch_order(epoch)[shard_index::shard_count]
-        for start in range(0, len(order) - batch_size + 1, batch_size):
+        n_steps = self.steps_per_epoch(batch_size, shard_count)
+        for start in range(skip * batch_size, n_steps * batch_size,
+                           batch_size):
             idx = order[start : start + batch_size]
             yield self.samples[idx], self.locs[idx], self.counts[idx]
 
@@ -273,12 +287,13 @@ class SCDDataset:
         return min(len(t) for t in local_train) // per_dev
 
     def epoch_local_indices(self, batch_size: int, num_shards: int,
-                            local_train, epoch: Optional[int] = None
-                            ) -> Iterator[np.ndarray]:
+                            local_train, epoch: Optional[int] = None,
+                            skip: int = 0) -> Iterator[np.ndarray]:
         """One epoch of per-device LOCAL index batches, (num_shards *
         batch_size/num_shards,) concatenated device-major, drop_last.
         ``epoch`` selects a deterministic per-epoch shuffle (see
-        :meth:`_epoch_order`); ``None`` keeps the legacy stateful one."""
+        :meth:`_epoch_order`); ``None`` keeps the legacy stateful one.
+        ``skip`` starts mid-epoch (resume fast-forward)."""
         per_dev = batch_size // num_shards
         orders = []
         for d in range(num_shards):
@@ -291,7 +306,7 @@ class SCDDataset:
                 arr = arr[rng.permutation(len(arr))]
             orders.append(arr)
         steps = min(len(o) for o in orders) // per_dev
-        for s in range(steps):
+        for s in range(skip, steps):
             yield np.concatenate(
                 [o[s * per_dev : (s + 1) * per_dev] for o in orders]
             ).astype(np.int32)

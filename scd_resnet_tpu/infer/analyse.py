@@ -25,6 +25,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from scd_resnet_tpu.ops.augment import normalize
 from scd_resnet_tpu.ops.image import grayscale_inference, pad_reflect_hybrid
 
 INPUT_SIZE = 512
@@ -247,11 +248,10 @@ def make_device_tiler(width: int, height: int) -> Callable:
             )
             for x in range(clip_h) for y in range(clip_v)
         ])
-        mean = clips.mean(axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(clips - mean), axis=(1, 2), keepdims=True)
-        # constant clips (blank slide corners) -> zeros, not 0/0 NaN
-        safe_var = jnp.where(var > 0, var, 1.0)
-        return jnp.where(var > 0, (clips - mean) / jnp.sqrt(safe_var), 0.0)
+        # ops/augment.normalize is the canonical standardization (incl.
+        # the constant-clip zero guard) — train and serve share one
+        # definition
+        return jax.vmap(normalize)(clips)
 
     return tiler
 

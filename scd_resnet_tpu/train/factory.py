@@ -517,6 +517,13 @@ class NetworkFactory:
         )
 
     def load_parameters(self) -> None:
+        if not os.path.exists(self._checkpoint_path()) and \
+                jax.process_index() != 0:
+            raise FileNotFoundError(
+                "checkpoint {} not visible on process {}: multi-host "
+                "resume requires dirTemp on storage shared by all hosts "
+                "(only process 0 writes checkpoints)".format(
+                    self._checkpoint_path(), jax.process_index()))
         template = {
             "params": self.params,
             "batch_stats": self.batch_stats,
@@ -593,6 +600,7 @@ class NetworkFactory:
             self.load_pretrained(cfg.pretrain)
 
         it = cfg.currentIteration
+        self._aug_step = int(it)  # keys stay in lockstep with the schedule
         total = cfg.totalIterations
         loss_rows: List[List[float]] = []
         eval_lines: List[str] = [
@@ -662,15 +670,14 @@ class NetworkFactory:
             if self.resident:
                 gen = self.dataset.epoch_local_indices(
                     cfg.batchSize, self._n_dev, self._local_train,
-                    epoch=epoch)
+                    epoch=epoch, skip=skip)
                 kind = "resident"
             else:
                 gen = self.dataset.epoch_batches(
-                    cfg.batchSize, shard_count, shard_index, epoch=epoch)
+                    cfg.batchSize, shard_count, shard_index, epoch=epoch,
+                    skip=skip)
                 kind = "host"
-            for i, payload in enumerate(gen):
-                if i < skip:
-                    continue
+            for payload in gen:
                 yield kind, payload
 
         finished = False

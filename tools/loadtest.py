@@ -70,9 +70,11 @@ def main():
     wall = time.perf_counter() - t0
     after = get("/metrics")
 
+    if not latencies:
+        raise SystemExit("no requests issued (--requests must be > 0)")
     latencies.sort()
-    pct = lambda p: latencies[min(len(latencies) - 1,
-                                  int(p / 100 * len(latencies)))]
+    # nearest-rank percentile: ceil(p/100 * n) - 1
+    pct = lambda p: latencies[max(0, -(-int(p) * len(latencies) // 100) - 1)]
     clips = after["clips"] - before["clips"]
     print(json.dumps({
         "requests": args.requests,
