@@ -208,3 +208,60 @@ def test_traced_bundle_service(tmp_path):
     assert len(det_traced) == len(det_live)
     for a, b in zip(sorted(det_traced), sorted(det_live)):
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_serve_cli_subprocess(tmp_path):
+    """serve.py end-to-end as a subprocess: checkpoint load via the
+    shared load_wrapper, warmup flag, HTTP serving, clean SIGTERM."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from scd_resnet_tpu.core.checkpoint import save_checkpoint
+    from scd_resnet_tpu.train.registry import get_model_profile
+
+    model = get_model_profile("centerOffsetRes10q").build()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+                           train=False)
+    ckpt = str(tmp_path / "tiny.pth")
+    save_checkpoint(ckpt, variables["params"], variables["batch_stats"],
+                    {}, 0)
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    env = dict(os.environ, SCD_JAX_PLATFORM="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    port = 18633
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "serve.py"), "-c", ckpt,
+         "-a", "centerOffsetRes10q", "--port", str(port),
+         "--warmup", "576x512"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 540
+        health = None
+        while time.time() < deadline:
+            try:
+                health = _get("http://127.0.0.1:{}/healthz".format(port))
+                break
+            except OSError:
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        "serve.py exited early:\n"
+                        + proc.stdout.read().decode())
+                time.sleep(2)
+        assert health is not None and health["status"] == "ok"
+        assert "576x512" in health["geometries"]  # --warmup took effect
+
+        rng = np.random.default_rng(0)
+        status, payload = _post(
+            "http://127.0.0.1:{}/analyse".format(port),
+            _png_bytes(rng.integers(0, 255, (512, 576), np.uint8)))
+        assert status == 200 and "detections" in payload
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()

@@ -27,8 +27,12 @@ def parse_arguments():
         "configuration."
     )
     parser.add_argument(
-        "configuration", type=str,
+        "configuration", type=str, nargs="?", default=None,
         help="path to the configuration file (exp.json schema; see README)",
+    )
+    parser.add_argument(
+        "--list-profiles", action="store_true", dest="listProfiles",
+        help="print the registered model and dataset profiles and exit",
     )
     parser.add_argument(
         "-gpu", dest="useGPU", const=True, default=False, action="store_const",
@@ -43,7 +47,23 @@ def parse_arguments():
         help="accepted for reference-CLI compatibility; unused (one process "
         "per host under JAX)",
     )
-    return parser.parse_args()
+    args = parser.parse_args()
+    if args.listProfiles:
+        from scd_resnet_tpu.train.registry import (
+            DATASET_PROFILES,
+            MODEL_PROFILES,
+        )
+
+        print("model profiles ({}):".format(len(MODEL_PROFILES)))
+        for name in sorted(MODEL_PROFILES):
+            print("  " + name)
+        print("dataset profiles ({}):".format(len(DATASET_PROFILES)))
+        for name in sorted(DATASET_PROFILES):
+            print("  " + name)
+        raise SystemExit(0)
+    if args.configuration is None:
+        parser.error("configuration file required (or --list-profiles)")
+    return args
 
 
 def begin(args):
