@@ -31,11 +31,22 @@ from scd_resnet_tpu.ops.image import grayscale_inference
 
 
 def grayscale(path):
-    """(grayscale, color) arrays, matching test.py:21-33."""
+    """(grayscale, color) arrays, matching test.py:21-33.
+
+    Robustness beyond the reference (which assumed 8-bit RGB): already-
+    grayscale and >8-bit scanner files go through the same coercion the
+    serving daemon uses instead of producing garbage shapes/values."""
     from PIL import Image
 
-    color = np.asarray(Image.open(path))
-    return grayscale_inference(color), color
+    from scd_resnet_tpu.infer.analyse import coerce_gray_u8
+
+    image = Image.open(path)
+    if image.mode == "P":
+        image = image.convert("RGB")
+    color = np.asarray(image)
+    if color.ndim == 2:
+        return coerce_gray_u8(color).astype(np.float32), color
+    return grayscale_inference(coerce_gray_u8(color[..., :3])), color
 
 
 # reference-compatible alias (test.py:41)

@@ -265,3 +265,49 @@ def test_serve_cli_subprocess(tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_testpy_pipelined_matches_sequential(tmp_path):
+    """test.py --pipelined must produce the same detections as the
+    sequential -c path (dispatch-all-then-finish reordering only)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from scd_resnet_tpu.core.checkpoint import save_checkpoint
+    from scd_resnet_tpu.train.registry import get_model_profile
+
+    model = get_model_profile("centerOffsetRes10q").build()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+                           train=False)
+    ckpt = str(tmp_path / "tiny.pth")
+    save_checkpoint(ckpt, variables["params"], variables["batch_stats"],
+                    {}, 0)
+
+    rng = np.random.default_rng(5)
+    slides = []
+    for i in range(2):
+        path = str(tmp_path / "s{}.png".format(i))
+        Image.fromarray(
+            rng.integers(0, 255, (512, 576), np.uint8)).save(path)
+        slides.append(path)
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    env = dict(os.environ, SCD_JAX_PLATFORM="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+
+    def run(extra, out):
+        cmd = [sys.executable, os.path.join(repo, "test.py"), *slides,
+               "-c", ckpt, "-a", "centerOffsetRes10q", "-o", out] + extra
+        proc = subprocess.run(cmd, env=env, capture_output=True, timeout=540)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        return json.load(open(out))
+
+    seq = run([], str(tmp_path / "seq.json"))
+    pipe = run(["--pipelined"], str(tmp_path / "pipe.json"))
+    key = lambda d: (d["image"], d["x"], d["y"], d["rhr"])
+    assert sorted(map(key, seq["detections"])) == \
+        sorted(map(key, pipe["detections"]))
