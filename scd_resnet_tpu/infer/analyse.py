@@ -88,8 +88,14 @@ def analyse_images(model: Callable, full_path: str,
 
     ``model`` maps a (B, 512, 512, 1) float batch to the (10, B, K) stacked
     decode rows (infer/wrapper.py)."""
-    rgb = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(full_path))
-    gray = grayscale_inference(rgb)
+    image = __import__("PIL.Image", fromlist=["Image"]).open(full_path)
+    if image.mode == "P":
+        image = image.convert("RGB")
+    color = np.asarray(image)
+    if color.ndim == 2:  # already grayscale (robustness vs the reference)
+        gray = coerce_gray_u8(color).astype(np.float32)
+    else:
+        gray = grayscale_inference(coerce_gray_u8(color[..., :3]))
     return analyse_grayscale(model, gray, dedupe_radius, batch_size)
 
 
