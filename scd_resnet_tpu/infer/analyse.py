@@ -12,7 +12,11 @@ Re-design of the served path (reference: test.py:41-183):
   batch is padded and sliced, keeping one compiled shape);
 - score threshold 0.3 AFTER top-100 (test.py:107);
 - stitch: slide_x = clipX*(512-128) - padLR + ctX*4 + offX;
-  Rhr = (4*rad - 4*minL) / (2 * 4*minL) (test.py:117-141);
+  Rhr = (4*rad - 4*minL) / (2 * 4*minL) (test.py:117-141) — one
+  vectorized numpy pass over the whole (10, N, K) rows array (the
+  reference loops Python per clip and per detection, test.py:95-141);
+- slide-bounds filter 0 <= x < W, 0 <= y < H before output/fit
+  (test.py:164-170; the reference hardcodes 3072x2056 — see PARITY.md);
 - quantification: histogram Rhr over [-0.25, 1.25) step 0.01 and
   scipy curve_fit of a 2-Gaussian mixture with the reference bounds
   (test.py:148-183).
@@ -83,11 +87,14 @@ def tile_slide(gray: np.ndarray) -> Tuple[np.ndarray, int, int, int, int]:
 
 def analyse_images(model: Callable, full_path: str,
                    dedupe_radius: Optional[float] = None,
-                   batch_size: int = BATCH_SIZE) -> List[List[float]]:
+                   batch_size: int = BATCH_SIZE,
+                   bounds="slide") -> List[List[float]]:
     """Detections ``[slide_x, slide_y, Rhr]`` for one slide image.
 
     ``model`` maps a (B, 512, 512, 1) float batch to the (10, B, K) stacked
-    decode rows (infer/wrapper.py)."""
+    decode rows (infer/wrapper.py). The slide-bounds filter
+    (test.py:164-170) is ON by default — pass ``bounds=None`` to keep
+    out-of-bounds detections from the padded margins."""
     image = __import__("PIL.Image", fromlist=["Image"]).open(full_path)
     if image.mode == "P":
         image = image.convert("RGB")
@@ -96,7 +103,8 @@ def analyse_images(model: Callable, full_path: str,
         gray = coerce_gray_u8(color).astype(np.float32)
     else:
         gray = grayscale_inference(coerce_gray_u8(color[..., :3]))
-    return analyse_grayscale(model, gray, dedupe_radius, batch_size)
+    return analyse_grayscale(model, gray, dedupe_radius, batch_size,
+                             bounds=bounds)
 
 
 def coerce_gray_u8(gray: np.ndarray) -> np.ndarray:
@@ -128,77 +136,96 @@ def dedupe_detections(detections: List[List[float]],
     Clips share 2*64 px margins, so an object near a tile border is decoded
     by both neighbors (the reference's margin filter for this was left
     commented out, test.py:127-130, shipping the duplicates). Keeps the
-    first detection and drops later ones within ``radius`` px."""
+    first detection and drops later ones within ``radius`` px.
+
+    Greedy order-dependent suppression is inherently sequential; the
+    distance check against everything kept so far is a single vectorized
+    numpy op per candidate (the pure-Python pairwise loop was part of the
+    host-load sensitivity this file's round-3 rework removes)."""
     kept: List[List[float]] = []
+    if not detections:
+        return kept
+    kept_xy = np.empty((len(detections), 2), np.float64)
+    n_kept = 0
+    r2 = radius * radius
     for det in detections:
-        duplicate = any(
-            (det[0] - other[0]) ** 2 + (det[1] - other[1]) ** 2
-            <= radius * radius
-            for other in kept
-        )
-        if not duplicate:
-            kept.append(det)
+        if n_kept:
+            d2 = kept_xy[:n_kept] - (det[0], det[1])
+            if ((d2 * d2).sum(axis=1) <= r2).any():
+                continue
+        kept_xy[n_kept] = (det[0], det[1])
+        n_kept += 1
+        kept.append(det)
     return kept
 
 
-def _threshold_rows(rows: np.ndarray, valid: int) -> List[List[np.ndarray]]:
-    """Per-clip score-thresholded decode fields from (10, B, K) rows."""
-    (scores, _inds, ct_y, ct_x, maj_x, maj_y, min_l, rad,
+def stitch_rows(rows: np.ndarray, clip_h: int, clip_v: int,
+                pad_lr: int, pad_tb: int,
+                bounds: Optional[Tuple[int, int]] = None) -> List[List[float]]:
+    """Threshold + clip->slide coordinate stitch + Rhr (test.py:106-141),
+    vectorized over the FULL (10, N, K) decode rows in one numpy pass.
+
+    Round 2 did this with per-clip Python loops, which made serving
+    throughput host-load-sensitive (~2x spread between an idle and a
+    loaded host). Here the host does three array ops over the whole grid
+    — the per-detection Python work is only the final list conversion.
+
+    Math is float64 with toward-zero truncation, matching the reference's
+    ``int(...)`` semantics exactly (test.py:136-137). Detection order is
+    clip-major (x-major then y, the stacking order) then top-K order
+    within a clip — identical to the reference's nested loops, so the
+    greedy dedupe sees the same sequence.
+
+    ``bounds``: optional ``(width, height)``; detections outside
+    ``0 <= x < width and 0 <= y < height`` are dropped — the reference's
+    quantification recipe's slide-bounds filter (test.py:164-170; the
+    reference hardcodes 3072x2056 for its 3092-wide slides, we use the
+    true geometry — PARITY.md).
+    """
+    rows = np.asarray(rows, np.float64)[:, : clip_h * clip_v]
+    (scores, _inds, ct_y, ct_x, _maj_x, _maj_y, min_l, rad,
      off_x, off_y) = rows
-    results = []
-    for item in range(valid):
-        keep = scores[item] > SCORE_THRESHOLD
-        results.append(
-            [ct_x[item][keep], ct_y[item][keep], off_x[item][keep],
-             off_y[item][keep], maj_x[item][keep], maj_y[item][keep],
-             min_l[item][keep], rad[item][keep]]
-        )
-    return results
 
-
-def _stitch(results: List[List[np.ndarray]], clip_h: int, clip_v: int,
-            pad_lr: int, pad_tb: int) -> List[List[float]]:
-    """Clip -> slide coordinate stitch + Rhr (test.py:117-141), vectorized
-    per clip (float64 math + toward-zero truncation, matching the
-    reference's ``int(...)`` semantics exactly)."""
     stride = INPUT_SIZE - 2 * PADDING_SIZE
-    detections: List[List[float]] = []
-    idx = 0
-    for x in range(clip_h):
-        for y in range(clip_v):
-            (center_x, center_y, offset_x, offset_y, _mx, _my, minor_l,
-             radius) = results[idx]
-            idx += 1
-            if len(center_x) == 0:
-                continue
-            dminl = minor_l.astype(np.float64) * 4
-            halo = radius.astype(np.float64) * 4
-            ratio = (halo - dminl) / (2 * dminl)
-            slide_x = np.trunc(
-                x * stride - pad_lr
-                + center_x.astype(np.float64) * 4
-                + offset_x.astype(np.float64)
-            ).astype(np.int64)
-            slide_y = np.trunc(
-                y * stride - pad_tb
-                + center_y.astype(np.float64) * 4
-                + offset_y.astype(np.float64)
-            ).astype(np.int64)
-            detections.extend(
-                [int(sx), int(sy), float(r)]
-                for sx, sy, r in zip(slide_x, slide_y, ratio)
-            )
-    return detections
+    n = clip_h * clip_v
+    grid_x = (np.arange(n) // clip_v)[:, None]  # x-major stacking order
+    grid_y = (np.arange(n) % clip_v)[:, None]
+
+    slide_x = np.trunc(grid_x * stride - pad_lr + ct_x * 4 + off_x)
+    slide_y = np.trunc(grid_y * stride - pad_tb + ct_y * 4 + off_y)
+    dminl = min_l * 4
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = (rad * 4 - dminl) / (2 * dminl)
+
+    keep = scores > SCORE_THRESHOLD
+    if bounds is not None:
+        width, height = bounds
+        keep &= ((slide_x >= 0) & (slide_x < width)
+                 & (slide_y >= 0) & (slide_y < height))
+
+    return [
+        [int(sx), int(sy), float(r)]
+        for sx, sy, r in zip(slide_x[keep], slide_y[keep], ratio[keep])
+    ]
 
 
 def analyse_grayscale(model: Callable, gray: np.ndarray,
                       dedupe_radius: Optional[float] = None,
-                      batch_size: int = BATCH_SIZE) -> List[List[float]]:
+                      batch_size: int = BATCH_SIZE,
+                      bounds: Optional[Tuple[int, int]] = None
+                      ) -> List[List[float]]:
     """``batch_size`` must match the model's compiled batch (jax.export
-    bundles are shape-specialized; test.py passes the traced shape)."""
-    clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
+    bundles are shape-specialized; test.py passes the traced shape).
 
-    results = []
+    ``bounds``: ``(width, height)`` slide-bounds filter (test.py:164-170),
+    ``"slide"`` to use ``gray``'s own geometry, or None (default here —
+    the slide entry points ``analyse_images``/``make_device_analyzer``
+    default it ON)."""
+    clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
+    if bounds == "slide":
+        bounds = (gray.shape[1], gray.shape[0])
+
+    all_rows = []
     n = len(clips)
     for start in range(0, n, batch_size):
         batch = clips[start : start + batch_size]
@@ -208,10 +235,10 @@ def analyse_grayscale(model: Callable, gray: np.ndarray,
                 [batch, np.zeros((batch_size - valid, INPUT_SIZE, INPUT_SIZE),
                                  np.float32)]
             )
-        rows = np.asarray(model(batch[..., None]))
-        results.extend(_threshold_rows(rows, valid))
+        all_rows.append(np.asarray(model(batch[..., None]))[:, :valid])
 
-    detections = _stitch(results, clip_h, clip_v, pad_lr, pad_tb)
+    rows = np.concatenate(all_rows, axis=1)
+    detections = stitch_rows(rows, clip_h, clip_v, pad_lr, pad_tb, bounds)
     if dedupe_radius is not None:
         detections = dedupe_detections(detections, dedupe_radius)
     return detections
@@ -264,7 +291,7 @@ def make_device_tiler(width: int, height: int) -> Callable:
 
 def make_device_analyzer(wrapper: Callable, width: int, height: int,
                          dedupe_radius: Optional[float] = None,
-                         mesh=None) -> Callable:
+                         mesh=None, bounds="slide") -> Callable:
     """Slide analyzer with the tiling fused ON DEVICE.
 
     The host-tiled path ships every overlapping 512x512 clip as float32 —
@@ -315,10 +342,15 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
             clips = jax.lax.with_sharding_constraint(clips, clip_shard)
             return wrapper(clips)[:, :n]
 
+    if bounds == "slide":
+        # slide-bounds filter ON by default at this real-slide entry point
+        # (test.py:164-170; pass bounds=None to keep margin detections)
+        bounds = (width, height)
+
     def _finish(rows: np.ndarray) -> List[List[float]]:
-        results = _threshold_rows(rows, clip_h * clip_v)
-        # _stitch walks x-major then y — match the clip stacking order above
-        detections = _stitch(results, clip_h, clip_v, pad_lr, pad_tb)
+        # stitch_rows walks x-major then y — the clip stacking order above
+        detections = stitch_rows(rows, clip_h, clip_v, pad_lr, pad_tb,
+                                 bounds)
         if dedupe_radius is not None:
             detections = dedupe_detections(detections, dedupe_radius)
         return detections

@@ -130,7 +130,8 @@ class InferenceService:
                 model, input_shape = self._traced
                 t0 = time.perf_counter()
                 detections = analyse_grayscale(
-                    model, gray, batch_size=input_shape[0])
+                    model, gray, batch_size=input_shape[0],
+                    bounds="slide")
                 elapsed = time.perf_counter() - t0
         radius = self._dedupe if dedupe is None else dedupe
         if radius is not None:

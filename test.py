@@ -74,6 +74,11 @@ def main():
     parser.add_argument("--dedupe", type=float, default=None,
                         help="suppress tile-overlap duplicate detections "
                         "within this radius (px)")
+    parser.add_argument("--keep-out-of-bounds", action="store_true",
+                        help="keep detections outside the slide bounds "
+                        "(reflection artifacts from the padded margins); "
+                        "default drops them per the reference's "
+                        "quantification recipe (test.py:164-170)")
     parser.add_argument("--mesh", action="store_true",
                         help="with -c: shard each slide's clip batch over "
                         "ALL local devices (multi-chip serving)")
@@ -107,6 +112,8 @@ def main():
         Logger.info(":: test.py :: serving checkpoint {} as {} with "
                     "device-fused tiling".format(args.checkpoint, args.arch))
 
+        bounds = None if args.keep_out_of_bounds else "slide"
+
         mesh = None
         if args.mesh:
             import jax
@@ -125,7 +132,7 @@ def main():
             if (width, height) not in analyzers:
                 analyzers[(width, height)] = make_device_analyzer(
                     wrapper, width, height, dedupe_radius=args.dedupe,
-                    mesh=mesh)
+                    mesh=mesh, bounds=bounds)
             return analyzers[(width, height)](gray)
     else:
         from scd_resnet_tpu.infer.wrapper import load_traced
@@ -135,8 +142,10 @@ def main():
             input_shape))
 
         def analyse_one(path):
-            return analyse_images(model, path, dedupe_radius=args.dedupe,
-                                  batch_size=input_shape[0])
+            return analyse_images(
+                model, path, dedupe_radius=args.dedupe,
+                batch_size=input_shape[0],
+                bounds=None if args.keep_out_of_bounds else "slide")
 
     register = []
     if args.checkpoint and args.pipelined:
@@ -149,7 +158,7 @@ def main():
             if (width, height) not in analyzers:
                 analyzers[(width, height)] = make_device_analyzer(
                     wrapper, width, height, dedupe_radius=args.dedupe,
-                    mesh=mesh)
+                    mesh=mesh, bounds=bounds)
             analyzer = analyzers[(width, height)]
             futures.append((path, analyzer, analyzer.dispatch(gray)))
         results = [(path, analyzer.finish(fut))

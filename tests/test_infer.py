@@ -164,8 +164,43 @@ def test_device_analyzer_matches_host_stitch():
     def wrapper(clips_nhwc):
         return jnp.asarray(fake_rows(clips_nhwc))
 
-    device_dets = make_device_analyzer(wrapper, 900, 600)(gray)
+    device_dets = make_device_analyzer(wrapper, 900, 600, bounds=None)(gray)
     assert device_dets == host_dets
+
+
+def test_slide_bounds_filter():
+    """The default analyzer drops detections the stitch places outside the
+    slide (reflection artifacts from the padded margins) — the reference
+    quantification recipe's filter (test.py:164-170)."""
+    from scd_resnet_tpu.infer.analyse import stitch_rows
+
+    gray = np.zeros((600, 900), np.float32)
+    k = 100
+
+    def fake_rows(batch):
+        b = batch.shape[0]
+        rows = np.zeros((10, b, k), np.float32)
+        rows[0, :, 0] = 0.9   # one det per clip at ctX=20 -> clip 0 lands
+        rows[2, :, 0] = 10.0  # at slide x ~ -110 (pad_lr 190): out of
+        rows[3, :, 0] = 20.0  # bounds, the others in
+        rows[6, :, 0] = 2.0
+        rows[7, :, 0] = 6.0
+        return rows
+
+    unfiltered = analyse_grayscale(fake_rows, gray)
+    filtered = analyse_grayscale(fake_rows, gray, bounds="slide")
+    assert len(filtered) < len(unfiltered)
+    assert all(0 <= x < 900 and 0 <= y < 600 for x, y, _ in filtered)
+    assert any(x < 0 or y < 0 for x, y, _ in unfiltered)
+    # the filtered set is exactly the in-bounds subset, same order
+    assert filtered == [d for d in unfiltered
+                        if 0 <= d[0] < 900 and 0 <= d[1] < 600]
+
+    # stitch_rows with explicit bounds matches (the device analyzer path)
+    clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
+    rows = fake_rows(clips[:, :, :, None])
+    assert stitch_rows(rows, clip_h, clip_v, pad_lr, pad_tb,
+                       (900, 600)) == filtered
 
 
 def test_device_analyzer_mesh_sharded_matches_single():
