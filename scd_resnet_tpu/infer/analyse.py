@@ -159,6 +159,24 @@ def dedupe_detections(detections: List[List[float]],
     return kept
 
 
+def dedupe_contract(detections: List[List[float]], radius: float,
+                    contract: str) -> List[List[float]]:
+    """Contract-aware duplicate suppression: corner peaks dedupe within
+    each head (a tl peak never suppresses a ct peak); legacy boxes dedupe
+    on box centers; the point contracts on (x, y) directly."""
+    if contract == "corner":
+        out: List[List[float]] = []
+        for head in _CORNER_HEADS:
+            out.extend(dedupe_detections(
+                [d for d in detections if d[3] == head], radius))
+        return out
+    if contract == "cornerLegacy":
+        centered = [[(d[0] + d[2]) / 2, (d[1] + d[3]) / 2, d]
+                    for d in detections]
+        return [c[2] for c in dedupe_detections(centered, radius)]
+    return dedupe_detections(detections, radius)
+
+
 def stitch_rows(rows: np.ndarray, clip_h: int, clip_v: int,
                 pad_lr: int, pad_tb: int,
                 bounds: Optional[Tuple[int, int]] = None) -> List[List[float]]:
@@ -209,10 +227,134 @@ def stitch_rows(rows: np.ndarray, clip_h: int, clip_v: int,
     ]
 
 
+CONTRACT_FIELDS = {
+    "centerOffset": ("x", "y", "rhr"),
+    "centerSize": ("x", "y", "w", "h", "score"),
+    "corner": ("x", "y", "score", "head"),
+    "cornerLegacy": ("tlx", "tly", "brx", "bry", "score"),
+}
+
+# centerSize regression is trained on size / (DOWNSAMPLE * SIZE_REGR_FACTOR)
+# (centerNet.py:47, 152-192) — undo the full factor for pixel-unit boxes
+_SIZE_SCALE = 4 * 10
+
+_CORNER_HEADS = ("ct", "tl", "br")
+
+
+def stitch_size_rows(rows: np.ndarray, clip_h: int, clip_v: int,
+                     pad_lr: int, pad_tb: int,
+                     bounds: Optional[Tuple[int, int]] = None
+                     ) -> List[List[float]]:
+    """centerSize contract (6, N, K) -> ``[x, y, w, h, score]`` in slide
+    pixels. No sub-pixel offset head in this family: peaks land on the
+    4 px heatmap grid (centerNet.py:194-222)."""
+    rows = np.asarray(rows, np.float64)[:, : clip_h * clip_v]
+    scores, _inds, ct_y, ct_x, size_w, size_h = rows
+
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    n = clip_h * clip_v
+    grid_x = (np.arange(n) // clip_v)[:, None]
+    grid_y = (np.arange(n) % clip_v)[:, None]
+    slide_x = np.trunc(grid_x * stride - pad_lr + ct_x * 4)
+    slide_y = np.trunc(grid_y * stride - pad_tb + ct_y * 4)
+
+    keep = scores > SCORE_THRESHOLD
+    if bounds is not None:
+        width, height = bounds
+        keep &= ((slide_x >= 0) & (slide_x < width)
+                 & (slide_y >= 0) & (slide_y < height))
+    return [
+        [int(x), int(y), float(w * _SIZE_SCALE), float(h * _SIZE_SCALE),
+         float(s)]
+        for x, y, w, h, s in zip(slide_x[keep], slide_y[keep],
+                                 size_w[keep], size_h[keep], scores[keep])
+    ]
+
+
+def stitch_corner_rows(rows: np.ndarray, clip_h: int, clip_v: int,
+                       pad_lr: int, pad_tb: int,
+                       bounds: Optional[Tuple[int, int]] = None
+                       ) -> List[List[float]]:
+    """corner contract (12, N, K) -> ``[x, y, score, head]`` with head in
+    {"ct", "tl", "br"} (the three per-head top-K blocks,
+    cornerNet.py:272-304)."""
+    rows = np.asarray(rows, np.float64)[:, : clip_h * clip_v]
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    n = clip_h * clip_v
+    grid_x = (np.arange(n) // clip_v)[:, None]
+    grid_y = (np.arange(n) % clip_v)[:, None]
+
+    detections: List[List[float]] = []
+    for h, head in enumerate(_CORNER_HEADS):
+        scores, _inds, ys, xs = rows[4 * h : 4 * h + 4]
+        slide_x = np.trunc(grid_x * stride - pad_lr + xs * 4)
+        slide_y = np.trunc(grid_y * stride - pad_tb + ys * 4)
+        keep = scores > SCORE_THRESHOLD
+        if bounds is not None:
+            width, height = bounds
+            keep &= ((slide_x >= 0) & (slide_x < width)
+                     & (slide_y >= 0) & (slide_y < height))
+        detections.extend(
+            [int(x), int(y), float(s), head]
+            for x, y, s in zip(slide_x[keep], slide_y[keep], scores[keep])
+        )
+    return detections
+
+
+def stitch_legacy_boxes(rows: np.ndarray, clip_h: int, clip_v: int,
+                        pad_lr: int, pad_tb: int,
+                        bounds: Optional[Tuple[int, int]] = None
+                        ) -> List[List[float]]:
+    """cornerLegacy contract (N, 1000, 8) paired boxes -> slide-pixel
+    ``[tlx, tly, brx, bry, score]`` (rejected pairs carry score -1 and
+    fall to the threshold; cornerNetLegacy.py:332-446). The bounds filter
+    keeps boxes whose center is inside the slide."""
+    rows = np.asarray(rows, np.float64)[: clip_h * clip_v]
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    n = clip_h * clip_v
+    grid_x = (np.arange(n) // clip_v)[:, None]
+    grid_y = (np.arange(n) % clip_v)[:, None]
+
+    tlx = grid_x * stride - pad_lr + rows[:, :, 0] * 4
+    tly = grid_y * stride - pad_tb + rows[:, :, 1] * 4
+    brx = grid_x * stride - pad_lr + rows[:, :, 2] * 4
+    bry = grid_y * stride - pad_tb + rows[:, :, 3] * 4
+    scores = rows[:, :, 4]
+
+    keep = scores > SCORE_THRESHOLD
+    if bounds is not None:
+        width, height = bounds
+        cx, cy = (tlx + brx) / 2, (tly + bry) / 2
+        keep &= (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+    return [
+        [float(a), float(b), float(c), float(d), float(s)]
+        for a, b, c, d, s in zip(tlx[keep], tly[keep], brx[keep],
+                                 bry[keep], scores[keep])
+    ]
+
+
+def stitch_any(rows: np.ndarray, contract: str, clip_h: int, clip_v: int,
+               pad_lr: int, pad_tb: int,
+               bounds: Optional[Tuple[int, int]] = None
+               ) -> List[List[float]]:
+    """Dispatch the per-contract stitch (CONTRACT_FIELDS names the output
+    columns)."""
+    fn = {
+        "centerOffset": stitch_rows,
+        "centerSize": stitch_size_rows,
+        "corner": stitch_corner_rows,
+        "cornerLegacy": stitch_legacy_boxes,
+    }.get(contract)
+    if fn is None:
+        raise KeyError("unknown wrapper contract '{}'".format(contract))
+    return fn(rows, clip_h, clip_v, pad_lr, pad_tb, bounds)
+
+
 def analyse_grayscale(model: Callable, gray: np.ndarray,
                       dedupe_radius: Optional[float] = None,
                       batch_size: int = BATCH_SIZE,
-                      bounds: Optional[Tuple[int, int]] = None
+                      bounds: Optional[Tuple[int, int]] = None,
+                      contract: Optional[str] = None
                       ) -> List[List[float]]:
     """``batch_size`` must match the model's compiled batch (jax.export
     bundles are shape-specialized; test.py passes the traced shape).
@@ -220,10 +362,20 @@ def analyse_grayscale(model: Callable, gray: np.ndarray,
     ``bounds``: ``(width, height)`` slide-bounds filter (test.py:164-170),
     ``"slide"`` to use ``gray``'s own geometry, or None (default here —
     the slide entry points ``analyse_images``/``make_device_analyzer``
-    default it ON)."""
+    default it ON).
+
+    ``contract``: wrapper-family output contract (CONTRACT_FIELDS);
+    default reads ``model.contract`` (set by load_traced/load_wrapper),
+    falling back to centerOffset."""
     clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
     if bounds == "slide":
         bounds = (gray.shape[1], gray.shape[0])
+    if contract is None:
+        contract = getattr(model, "contract", "centerOffset")
+
+    # the legacy contract is batch-major (B, 1000, 8); the stacked-row
+    # contracts put batch on axis 1
+    batch_axis = 0 if contract == "cornerLegacy" else 1
 
     all_rows = []
     n = len(clips)
@@ -235,12 +387,14 @@ def analyse_grayscale(model: Callable, gray: np.ndarray,
                 [batch, np.zeros((batch_size - valid, INPUT_SIZE, INPUT_SIZE),
                                  np.float32)]
             )
-        all_rows.append(np.asarray(model(batch[..., None]))[:, :valid])
+        out = np.asarray(model(batch[..., None]))
+        all_rows.append(out[:valid] if batch_axis == 0 else out[:, :valid])
 
-    rows = np.concatenate(all_rows, axis=1)
-    detections = stitch_rows(rows, clip_h, clip_v, pad_lr, pad_tb, bounds)
+    rows = np.concatenate(all_rows, axis=batch_axis)
+    detections = stitch_any(rows, contract, clip_h, clip_v, pad_lr, pad_tb,
+                            bounds)
     if dedupe_radius is not None:
-        detections = dedupe_detections(detections, dedupe_radius)
+        detections = dedupe_contract(detections, dedupe_radius, contract)
     return detections
 
 
@@ -319,6 +473,10 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
 
     clip_h, clip_v, pad_lr, pad_tb = slide_geometry(width, height)
     tiler = make_device_tiler(width, height)
+    contract = getattr(wrapper, "contract", "centerOffset")
+    # the legacy contract is batch-major (B, 1000, 8); the stacked-row
+    # contracts put the clip batch on axis 1
+    batch_axis = 0 if contract == "cornerLegacy" else 1
 
     if mesh is None:
 
@@ -340,7 +498,8 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
             clips = jnp.pad(
                 clips, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
             clips = jax.lax.with_sharding_constraint(clips, clip_shard)
-            return wrapper(clips)[:, :n]
+            out = wrapper(clips)
+            return out[:n] if batch_axis == 0 else out[:, :n]
 
     if bounds == "slide":
         # slide-bounds filter ON by default at this real-slide entry point
@@ -348,11 +507,11 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
         bounds = (width, height)
 
     def _finish(rows: np.ndarray) -> List[List[float]]:
-        # stitch_rows walks x-major then y — the clip stacking order above
-        detections = stitch_rows(rows, clip_h, clip_v, pad_lr, pad_tb,
-                                 bounds)
+        # the stitch walks x-major then y — the clip stacking order above
+        detections = stitch_any(rows, contract, clip_h, clip_v, pad_lr,
+                                pad_tb, bounds)
         if dedupe_radius is not None:
-            detections = dedupe_detections(detections, dedupe_radius)
+            detections = dedupe_contract(detections, dedupe_radius, contract)
         return detections
 
     def analyse(gray: np.ndarray) -> List[List[float]]:

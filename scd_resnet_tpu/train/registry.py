@@ -50,6 +50,10 @@ class ModelProfile:
     expression: Callable
     # corner families train on batches carrying tl/br corner heatmaps
     corner_targets: bool = False
+    # deployment-wrapper family (infer/wrapper.CONTRACTS): the reference
+    # only shipped a wrapper for centerOffset (SURVEY.md defect #6); here
+    # every trainable family has an export contract
+    family: str = "centerOffset"
 
     def build(self):
         return self.model_cls(**self.model_params)
@@ -167,6 +171,7 @@ def _corner(name: str, model_cls, combined: bool = False,
             evaluation=corner.corner_net_evaluation,
             expression=expression_corner_net,
             corner_targets=True,
+            family="corner",
         )
     )
 
@@ -193,6 +198,7 @@ register_model(
         decode=cns.decode_center_net_size,
         evaluation=cns.center_net_size_evaluation,
         expression=expression_center_net_size,
+        family="centerSize",
     )
 )
 
@@ -208,6 +214,7 @@ register_model(
         evaluation=legacy.corner_net_legacy_evaluation,
         expression=legacy.expression_corner_net_legacy,
         corner_targets="legacy",
+        family="cornerLegacy",
     )
 )
 

@@ -109,8 +109,10 @@ def main():
         from scd_resnet_tpu.infer.wrapper import load_wrapper
 
         wrapper = load_wrapper(args.checkpoint, args.arch)
+        contract = wrapper.contract
         Logger.info(":: test.py :: serving checkpoint {} as {} with "
-                    "device-fused tiling".format(args.checkpoint, args.arch))
+                    "device-fused tiling (contract '{}')".format(
+                        args.checkpoint, args.arch, contract))
 
         bounds = None if args.keep_out_of_bounds else "slide"
 
@@ -138,8 +140,9 @@ def main():
         from scd_resnet_tpu.infer.wrapper import load_traced
 
         model, input_shape = load_traced(args.model)
-        Logger.info(":: test.py :: loaded traced model, input {}".format(
-            input_shape))
+        contract = model.contract
+        Logger.info(":: test.py :: loaded traced model, input {}, "
+                    "contract '{}'".format(input_shape, contract))
 
         def analyse_one(path):
             return analyse_images(
@@ -165,14 +168,22 @@ def main():
                    for path, analyzer, fut in futures]
     else:
         results = [(path, analyse_one(path)) for path in args.images]
+    from scd_resnet_tpu.infer.analyse import CONTRACT_FIELDS
+
+    fields = CONTRACT_FIELDS[contract]
     for path, detections in results:
         Logger.log("{}: {} detections".format(path, len(detections)))
         for det in detections:
-            register.append({"image": path, "x": det[0], "y": det[1],
-                             "rhr": det[2]})
+            entry = {"image": path}
+            entry.update(zip(fields, det))
+            register.append(entry)
 
-    result = {"detections": register}
+    result = {"detections": register, "contract": contract}
     if args.fit and register:
+        if contract != "centerOffset":
+            parser.error("--fit needs the Rhr row — only the centerOffset "
+                         "contract carries minL/rad (got '{}')".format(
+                             contract))
         popt = fit_rhr([d["rhr"] for d in register])
         result["gauss2"] = {
             "a1": popt[0], "m1": popt[1], "s1": popt[2],

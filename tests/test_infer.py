@@ -252,3 +252,72 @@ def test_coerce_gray_u8_bit_depths():
     np.testing.assert_array_equal(
         coerce_gray_u8(small), np.array([[0, 85, 255]], np.uint8))
     assert coerce_gray_u8(np.zeros((0, 0))).shape == (0, 0)
+
+
+def test_analyse_grayscale_corner_contract():
+    """The serving host path consumes the (12, B, K) corner contract:
+    per-head peaks stitched to slide coords, deduped within each head."""
+    gray = np.zeros((600, 900), np.float32)
+    k = 100
+
+    def fake_model(batch):
+        b = batch.shape[0]
+        rows = np.zeros((12, b, k), np.float32)
+        for h, (y, x) in enumerate([(10, 20), (8, 16), (12, 24)]):
+            rows[4 * h, :, 0] = 0.9   # score
+            rows[4 * h + 2, :, 0] = y
+            rows[4 * h + 3, :, 0] = x
+        return rows
+
+    fake_model.contract = "corner"
+    dets = analyse_grayscale(fake_model, gray, bounds="slide")
+    heads = {d[3] for d in dets}
+    assert heads == {"ct", "tl", "br"}
+    assert all(0 <= d[0] < 900 and 0 <= d[1] < 600 for d in dets)
+    # dedupe is per-head: nearby ct and tl peaks both survive
+    deduped = analyse_grayscale(fake_model, gray, bounds="slide",
+                                dedupe_radius=1e9)
+    assert {d[3] for d in deduped} == {"ct", "tl", "br"}
+    assert len(deduped) == 3
+
+
+def test_analyse_grayscale_center_size_contract():
+    """The (6, B, K) centerSize contract stitches to [x, y, w, h, score]
+    with sizes scaled back to pixels (x 4*10, centerNet.py:47)."""
+    gray = np.zeros((600, 900), np.float32)
+    k = 100
+
+    def fake_model(batch):
+        b = batch.shape[0]
+        rows = np.zeros((6, b, k), np.float32)
+        rows[0, :, 0] = 0.8
+        rows[2, :, 0] = 10.0
+        rows[3, :, 0] = 20.0
+        rows[4, :, 0] = 0.5   # sizeW (training scale)
+        rows[5, :, 0] = 0.25  # sizeH
+        return rows
+
+    fake_model.contract = "centerSize"
+    dets = analyse_grayscale(fake_model, gray, bounds="slide")
+    assert dets and all(len(d) == 5 for d in dets)
+    assert all(abs(d[2] - 0.5 * 40) < 1e-6 and abs(d[3] - 0.25 * 40) < 1e-6
+               for d in dets)
+
+
+def test_analyse_grayscale_legacy_contract():
+    """The (B, 1000, 8) cornerLegacy contract stitches paired boxes to
+    slide pixels; rejected pairs (score -1) are dropped by threshold."""
+    gray = np.zeros((600, 900), np.float32)
+
+    def fake_model(batch):
+        b = batch.shape[0]
+        dets = np.full((b, 1000, 8), -1.0, np.float32)
+        dets[:, 0] = [20.0, 10.0, 30.0, 18.0, 0.9, 0.9, 0.9, 0.0]
+        return dets
+
+    fake_model.contract = "cornerLegacy"
+    dets = analyse_grayscale(fake_model, gray, bounds="slide")
+    assert dets and all(len(d) == 5 for d in dets)
+    for tlx, tly, brx, bry, s in dets:
+        assert brx - tlx == 40.0 and bry - tly == 32.0
+        assert abs(s - 0.9) < 1e-6  # float32 readback

@@ -67,3 +67,109 @@ def test_dcn_model_exports_stablehlo(tmp_path):
     loaded, shape = load_traced(path)
     assert shape == (1, 64, 64, 1)
     np.testing.assert_allclose(loaded(np.asarray(x)), rows, atol=1e-5)
+
+
+def _init_wrap(model, family, batch=1, decode=None):
+    x = jnp.array(
+        np.random.default_rng(2).standard_normal((batch, 64, 64, 1)),
+        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    wrapper = make_wrapper(model, variables["params"],
+                           variables.get("batch_stats", {}), family=family,
+                           decode=decode)
+    return wrapper, x
+
+
+def test_corner_family_contract(tmp_path):
+    """corner contract: (12, B, K) = ct/tl/br x [score, ind, y, x]
+    (cornerNet.py:272-304), exported and reloaded with the contract name
+    in the bundle header."""
+    from scd_resnet_tpu.models.corner_net import CornerNetResidual
+
+    wrapper, x = _init_wrap(
+        CornerNetResidual(num_layers=10, dims=TINY), "corner")
+    rows = np.asarray(wrapper(x))
+    assert rows.shape == (12, 1, 100)
+    # scores rows are post-sigmoid probabilities
+    for h in range(3):
+        assert (rows[4 * h] >= 0).all() and (rows[4 * h] <= 1).all()
+        # y/x rows land on the 16x16 heatmap grid
+        assert rows[4 * h + 2].max() < 16 and rows[4 * h + 3].max() < 16
+
+    path = str(tmp_path / "corner.pt")
+    save_traced(path, wrapper, (1, 64, 64, 1), family="corner")
+    loaded, shape = load_traced(path)
+    assert loaded.contract == "corner"
+    assert loaded.rows[4] == "tlScores"
+    np.testing.assert_allclose(loaded(np.asarray(x)), rows, atol=1e-5)
+
+
+def test_center_size_family_contract(tmp_path):
+    """centerSize contract: (6, B, K) = [ctS, ctI, ctY, ctX, sizeW, sizeH]
+    — the reference's own commented unpack (test.py:102)."""
+    from scd_resnet_tpu.models.center_net import CenterNetSizeResidual
+
+    wrapper, x = _init_wrap(
+        CenterNetSizeResidual(num_layers=10, dims=TINY), "centerSize")
+    rows = np.asarray(wrapper(x))
+    assert rows.shape == (6, 1, 100)
+
+    path = str(tmp_path / "size.pt")
+    save_traced(path, wrapper, (1, 64, 64, 1), family="centerSize")
+    loaded, _ = load_traced(path)
+    assert loaded.contract == "centerSize"
+    np.testing.assert_allclose(loaded(np.asarray(x)), rows, atol=1e-5)
+
+
+def test_corner_legacy_family_contract(tmp_path):
+    """cornerLegacy contract: (B, 1000, 8) associative-embedding paired
+    boxes (cornerNetLegacy.py:332-446)."""
+    from scd_resnet_tpu.models.corner_net_legacy import CornerNetLegacy
+
+    wrapper, x = _init_wrap(
+        CornerNetLegacy(categories=1, stacks=1, iterations=2,
+                        dimensions=(16, 24, 32), modules=(1, 1, 1)),
+        "cornerLegacy")
+    dets = np.asarray(wrapper(x))
+    assert dets.shape == (1, 1000, 8)
+    # rejected pairs carry score -1; scores otherwise are mean tl/br probs
+    assert dets[..., 4].max() <= 1.0
+
+    path = str(tmp_path / "legacy.pt")
+    save_traced(path, wrapper, (1, 64, 64, 1), family="cornerLegacy")
+    loaded, _ = load_traced(path)
+    assert loaded.contract == "cornerLegacy"
+    np.testing.assert_allclose(loaded(np.asarray(x)), dets, atol=1e-5)
+
+
+def test_make_wrapper_for_registry_profiles():
+    """make_wrapper_for dispatches every registry family, including the
+    combined-corner profile whose decode is pre-bound with
+    combined=True."""
+    import dataclasses
+
+    import jax as _jax
+
+    from scd_resnet_tpu.infer.wrapper import make_wrapper_for
+    from scd_resnet_tpu.train.registry import get_model_profile
+
+    x = jnp.array(
+        np.random.default_rng(3).standard_normal((1, 64, 64, 1)),
+        jnp.float32)
+
+    cases = {
+        "centerOffsetRes10q": (10, 1, 100),
+        "cornerCombinedRes10": (12, 1, 100),
+        "centerRes10": (6, 1, 100),
+    }
+    for name, want in cases.items():
+        profile = get_model_profile(name)
+        if name != "centerOffsetRes10q":  # shrink for the 1-core CPU
+            profile = dataclasses.replace(
+                profile, model_params={**profile.model_params, "dims": TINY})
+        model = profile.build()
+        variables = model.init(_jax.random.PRNGKey(0), x, train=False)
+        wrapped, family = make_wrapper_for(
+            profile, variables["params"], variables.get("batch_stats", {}))
+        assert family == profile.family
+        assert np.asarray(wrapped(x)).shape == want

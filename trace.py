@@ -4,12 +4,15 @@ CLI mirror of the reference exporter (reference: trace.py:14-33):
 ``python trace.py out.pt -a centerOffsetRes10 -m model.pth -s '24 1 512 512'
 [-wrapped]``.
 
-Instead of TorchScript, the wrapper-flattened decode forward (the 10-row
-contract, trainer/wrappers/centerOffsetResidual.py:11-23) is jit-compiled
-and serialized as StableHLO via ``jax.export`` — loadable by test.py (or
-any PJRT C++ host) without model code. ``-s`` accepts the reference's NCHW
-shape string and maps it to NHWC internally. ``-wrapped`` is accepted for
-CLI compatibility (our checkpoints never carry a DataParallel prefix).
+Instead of TorchScript, the wrapper-flattened decode forward is
+jit-compiled and serialized as StableHLO via ``jax.export`` — loadable by
+test.py (or any PJRT C++ host) without model code. EVERY trainable family
+exports (infer/wrapper.CONTRACTS): centerOffset (10, B, K), centerSize
+(6, B, K), corner (12, B, K), cornerLegacy (B, 1000, 8) — the reference
+only shipped trainer/wrappers/centerOffsetResidual.py:11-23 (SURVEY.md
+defect #6). ``-s`` accepts the reference's NCHW shape string and maps it
+to NHWC internally. ``-wrapped`` is accepted for CLI compatibility (our
+checkpoints never carry a DataParallel prefix).
 """
 
 from __future__ import annotations
@@ -47,24 +50,16 @@ def begin(settings):
 
     from scd_resnet_tpu.core.checkpoint import load_params_only
     from scd_resnet_tpu.core.logging import Logger
-    from scd_resnet_tpu.infer.wrapper import make_wrapper, save_traced
+    from scd_resnet_tpu.infer.wrapper import (
+        CONTRACTS,
+        make_wrapper_for,
+        save_traced,
+    )
     from scd_resnet_tpu.train.registry import get_model_profile
 
     profile = get_model_profile(settings["architecture"])
-    Logger.info("Loaded model profile: {}".format(settings["architecture"]))
-    from scd_resnet_tpu.models.center_net_offset import decode_center_net
-
-    if profile.decode is not decode_center_net:
-        # the 10-row wrapper contract only exists for the centerNetOffset
-        # family (the reference likewise ships only
-        # trainer/wrappers/centerOffsetResidual.py — SURVEY.md defect #6)
-        Logger.err(
-            ":: trace.py :: no deployment wrapper for '{}' — only the "
-            "centerOffset* profiles define the 10-row decode contract "
-            "test.py consumes".format(settings["architecture"])
-        )
-        sys.exit(1)
-    model = profile.build()
+    Logger.info("Loaded model profile: {} (wrapper family: {})".format(
+        settings["architecture"], profile.family))
 
     if not os.path.exists(settings["model"]):
         Logger.err(":: trace.py :: checkpoint does not exist: {}".format(
@@ -83,16 +78,17 @@ def begin(settings):
 
     n, c, h, w = settings["shape"]
     input_shape = (n, h, w, c)
-    wrapper = make_wrapper(model, params, batch_stats)
+    wrapper, family = make_wrapper_for(profile, params, batch_stats)
 
     dummy = jax.numpy.zeros(input_shape, jax.numpy.float32)
     out = jax.jit(wrapper)(dummy)
     Logger.log(
-        "The loaded model accepts input {} and outputs {}".format(
-            input_shape, tuple(out.shape)
+        "The loaded model accepts input {} and outputs {} "
+        "(contract '{}': {})".format(
+            input_shape, tuple(out.shape), family, CONTRACTS[family]
         )
     )
-    save_traced(settings["output"], wrapper, input_shape)
+    save_traced(settings["output"], wrapper, input_shape, family=family)
     Logger.log("Output saved to {}".format(settings["output"]))
 
 
