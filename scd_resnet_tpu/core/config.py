@@ -56,6 +56,10 @@ _DEFAULTS: Dict[str, Any] = {
     "dirDatafile": "{dirDataset}{datasetName}.d",
     "dirDataSplitProfile": "{dirDataset}{datasetName}.split.json",
     "useGPU": False,
+    # train.py -debug: dump augmented-batch overlay PNGs at validation
+    # boundaries (the reference declared the flag "enable debug features,
+    # including visualization" but consumed it nowhere — train.py:41-42,96)
+    "debug": False,
     # extensions over the reference schema:
     # conv-path compute precision — "float32" | "bfloat16" (MXU-native;
     # params/BN stay f32)

@@ -48,6 +48,7 @@ def tiny_env(tmp_path_factory):
             "learningRate": 1e-3,
             "learningRateDecay": [2],
             "learningRateDecayRate": [10],
+            "debug": True,
             "dirTemp": str(root / "temp") + "/",
             "dirResult": str(root / "results") + "/",
             "dirDataset": str(root) + "/",
@@ -98,6 +99,11 @@ def test_training_loop_and_checkpoint(tiny_env):
     evals = open(os.path.join(cfg.dirResult, "evals.smoke.txt")).read()
     assert "Experiment: smoke" in evals
     assert "[Tr]" in evals and "[It]" in evals and "[mIoU]" in evals
+
+    # -debug dumped augmented-batch overlays at the validation boundary
+    debug_dir = os.path.join(cfg.dirResult, "debug.smoke")
+    overlays = sorted(os.listdir(debug_dir))
+    assert overlays and overlays[0].startswith("it000002.clip")
 
     # checkpoint resume: loads without error and keeps training
     ckpt = os.path.join(cfg.dirTemp, "centerOffsetRes10q.smoke.2.pth")

@@ -76,6 +76,15 @@ def begin(args):
     pprint(default_config.config, indent=4)
     Logger.info(":: train.py :: configuration ::::::::::::::::::::::::::::::::")
 
+    if not default_config.useGPU():
+        # without -gpu, train on CPU — and pin it via jax.config: the
+        # accelerator tunnel ignores the JAX_PLATFORMS env variable, and a
+        # CPU-intended run silently grabbing the single-tenant chip wedges
+        # every other client on it
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     # multi-host: initialize the JAX distributed runtime when a coordinator
     # is configured (no-op single host)
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
@@ -104,6 +113,7 @@ def main():
         "debug": args.debug,
     }
     default_config.update("useGPU", args.useGPU)
+    default_config.update("debug", args.debug)
     pprint(settings, indent=4)
     Logger.info(":: train.py :: trainer task begin :::::::::::::::::::::::::::")
     begin(settings)
