@@ -214,13 +214,59 @@ def decode_corner_net(out_dict: Dict[str, jnp.ndarray], k: int = 100,
     return rows + [out_dict]
 
 
+def pair_corner_boxes(ct_heat, tl_s, tl_y, tl_x, br_s, br_y, br_x,
+                      detection_count: int = 1000,
+                      center_threshold: float = 0.05):
+    """Geometric tl/br peak pairing into boxes for the embedding-free
+    corner families.
+
+    The cornerRes/cornerCPool/cornerCombined heads carry no associative
+    embeddings or offset regressions (cornerNet.py:200-230 — only three
+    heatmaps), so pairing is geometric, center-gated in the spirit of
+    CornerNet-Lite: every (tl, br) peak pair scores (tlS + brS)/2,
+    rejected when br is not below-right of tl or when the center heatmap
+    (sigmoid) at the pair midpoint falls below ``center_threshold`` — the
+    model's own center head arbitrates which corner pairs belong to one
+    object. Returns ``(boxes, scores)``: (B, D, 4) [tlX, tlY, brX, brY]
+    and (B, D); rejected pairs carry score -1.
+    """
+    b, k = tl_s.shape
+    hs_y, hs_x = ct_heat.shape[1], ct_heat.shape[2]
+    tlx, tly = tl_x[:, :, None], tl_y[:, :, None]
+    brx, bry = br_x[:, None, :], br_y[:, None, :]
+
+    heat = jax.nn.sigmoid(ct_heat[..., 0]).reshape(b, -1)
+    mid_x = jnp.clip(jnp.floor((tlx + brx) / 2.0), 0, hs_x - 1)
+    mid_y = jnp.clip(jnp.floor((tly + bry) / 2.0), 0, hs_y - 1)
+    mid_i = (mid_y * hs_x + mid_x).astype(jnp.int32).reshape(b, -1)
+    mid_score = jnp.take_along_axis(heat, mid_i, axis=1).reshape(b, k, k)
+
+    scores = (tl_s[:, :, None] + br_s[:, None, :]) / 2.0
+    reject = (brx < tlx) | (bry < tly) | (mid_score < center_threshold)
+    scores = jnp.where(reject, -1.0, scores)
+
+    count = min(detection_count, k * k)
+    top_scores, top_inds = jax.lax.top_k(scores.reshape(b, -1), count)
+    boxes = jnp.stack(
+        [jnp.broadcast_to(tlx, (b, k, k)),
+         jnp.broadcast_to(tly, (b, k, k)),
+         jnp.broadcast_to(brx, (b, k, k)),
+         jnp.broadcast_to(bry, (b, k, k))], axis=3,
+    ).reshape(b, -1, 4)
+    boxes = jnp.take_along_axis(boxes, top_inds[:, :, None], axis=1)
+    return boxes, top_scores
+
+
 def corner_net_evaluation(xs, ys, ct_s, ct_i, ct_y, ct_x, tl_s, tl_i, tl_y,
                           tl_x, br_s, br_i, br_y, br_x, out_dict):
-    """Peak AP battery: a decoded peak is a true positive when the
+    """Peak AP battery + box AP: a decoded peak is a true positive when the
     ground-truth Gaussian value at its pixel >= the AP threshold. Returns
-    per-head (tp_value, score, mask) triples; the expression computes AP50
-    and AP75 per head (the reference's intended but undefined metrics,
+    per-head (tp_value, score, mask) triples plus an ``iou_confidence``
+    grid for center-gated paired boxes (``pair_corner_boxes``) against the
+    ground-truth corner boxes, so the expression reports box AP50 next to
+    the per-head peak APs (the reference's intended but undefined metrics,
     cornerNet.py:306-321)."""
+    from scd_resnet_tpu.evaluations.detection import iou_confidence
 
     def gt_at(gt_heat, inds):
         flat = gt_heat[..., 0].reshape(gt_heat.shape[0], -1)
@@ -230,9 +276,30 @@ def corner_net_evaluation(xs, ys, ct_s, ct_i, ct_y, ct_x, tl_s, tl_i, tl_y,
     valid_ct = ct_s >= 0.3
     valid_tl = tl_s >= 0.3
     valid_br = br_s >= 0.3
+
+    # ground-truth boxes: integer center (ys[3] indices) -/+ (|maj|, minL)
+    # — the same geometry the tl/br target renderer stamps
+    # (data/pipeline.py corner_targets branch); masked rows zero out so
+    # the gt_area>eps guard in _pairwise excludes them
+    hs = ys[0].shape[2]
+    regr, inds, tag_mask = ys[2], ys[3], ys[1]
+    cx = (inds % hs).astype(jnp.float32)
+    cy = (inds // hs).astype(jnp.float32)
+    maj_l = jnp.sqrt(regr[:, :, 2] ** 2 + regr[:, :, 3] ** 2)
+    min_l = regr[:, :, 4]
+    gt_boxes = jnp.stack(
+        [cx - maj_l, cy - min_l, cx + maj_l, cy + min_l], axis=-1)
+    gt_boxes = jnp.where(tag_mask[:, :, None], gt_boxes, 0.0)
+
+    boxes, box_scores = pair_corner_boxes(
+        out_dict["heatmap"], tl_s, tl_y, tl_x, br_s, br_y, br_x)
+    vals, svals, pair_mask = iou_confidence(
+        boxes, gt_boxes, box_scores, box_scores >= 0.3)
+
     return {
         "heat": (gt_at(ys[0], ct_i), ct_s, valid_ct),
         "tl": (gt_at(ys[4], tl_i), tl_s, valid_tl),
         "br": (gt_at(ys[5], br_i), br_s, valid_br),
+        "box": (vals, svals, pair_mask),
         "objs": obj_num,
     }

@@ -95,6 +95,22 @@ def aggregate_corner_net(batches: List[Dict]) -> Dict[str, float]:
         for t in (50, 75):
             plots = average_precision_plots(gts, scores, denom, t / 100.0)
             result[f"{head}AP{t}"] = average_precision_all(plots)
+
+    # box AP50 over center-gated tl/br pairs (models/corner_net.py
+    # pair_corner_boxes) — the box-level metric the peak APs can't give
+    ious, scores = [], []
+    for batch in batches:
+        if "box" not in batch:
+            result["boxAP50"] = 0.0
+            return result
+        vals, svals, mask = batch["box"]
+        ious.append(_masked(vals, mask))
+        scores.append(_masked(svals, mask))
+    ious = np.concatenate(ious) if ious else np.zeros(0)
+    scores = np.concatenate(scores) if scores else np.zeros(0)
+    denom = max(obj_num, float(len(ious)))
+    result["boxAP50"] = average_precision_all(
+        average_precision_plots(ious, scores, denom, 0.5))
     return result
 
 
@@ -102,10 +118,11 @@ def expression_corner_net(batches: List[Dict]) -> str:
     e = aggregate_corner_net(batches)
     return (
         "[heatPeakAP50] {}    [heatPeakAP75] {}    [tlPeakAP50] {}    "
-        "[tlPeakAP75] {}    [brPeakAP50] {}    [brPeakAP75] {}".format(
+        "[tlPeakAP75] {}    [brPeakAP50] {}    [brPeakAP75] {}    "
+        "[boxAP50] {}".format(
             *(format(e[k] * 100, "-5.2f")
               for k in ("heatAP50", "heatAP75", "tlAP50", "tlAP75",
-                        "brAP50", "brAP75"))
+                        "brAP50", "brAP75", "boxAP50"))
         )
     )
 

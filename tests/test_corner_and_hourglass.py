@@ -85,6 +85,64 @@ def test_corner_combined_slices_channels():
     assert decoded[0].shape == (2, 8)
 
 
+def test_corner_box_pairing_exact():
+    """Planted tl/br/center spikes must pair into the exact gt box and
+    yield boxAP50 = 100 in the corner expression (the box-level metric
+    the peak APs can't provide)."""
+    from scd_resnet_tpu.models.corner_net import pair_corner_boxes
+
+    hs, b, k = 16, 2, 5
+    # gt: center (8, 8), |maj| = 3 (majX=3, majY=0), minL = 2
+    # -> box tl (5, 6), br (11, 10)
+    inds = np.zeros((b, k), np.int32)
+    inds[:, 0] = 8 * hs + 8
+    regr = np.zeros((b, k, 6), np.float32)
+    regr[:, 0, 2], regr[:, 0, 4] = 3.0, 2.0
+    mask = np.zeros((b, k), bool)
+    mask[:, 0] = True
+
+    def spike(y, x):
+        h = np.full((b, hs, hs, 1), -8.0, np.float32)
+        h[:, y, x, 0] = 8.0
+        return jnp.array(h)
+
+    out_dict = {"heatmap": spike(8, 8), "tl": spike(6, 5), "br": spike(10, 11)}
+    heat_gt = np.zeros((b, hs, hs, 1), np.float32)
+    heat_gt[:, 8, 8, 0] = 1.0
+    tl_gt = np.zeros_like(heat_gt)
+    tl_gt[:, 6, 5, 0] = 1.0
+    br_gt = np.zeros_like(heat_gt)
+    br_gt[:, 10, 11, 0] = 1.0
+    ys = [jnp.array(heat_gt), jnp.array(mask), jnp.array(regr),
+          jnp.array(inds), jnp.array(tl_gt), jnp.array(br_gt)]
+
+    decoded = decode_corner_net(out_dict, k=4)
+    _, _, _, _, tl_s, _, tl_y, tl_x, br_s, _, br_y, br_x, _ = decoded
+    boxes, scores = pair_corner_boxes(
+        out_dict["heatmap"], tl_s, tl_y, tl_x, br_s, br_y, br_x)
+    top = np.asarray(boxes[0, 0])
+    assert float(scores[0, 0]) > 0.9
+    np.testing.assert_allclose(top, [5.0, 6.0, 11.0, 10.0])
+
+    metrics = corner_net_evaluation(None, ys, *decoded)
+    line = expression_corner_net([jax.device_get(metrics)])
+    assert "[boxAP50] 100.0" in line, line
+
+
+def test_corner_box_pairing_center_gate():
+    """Pairs whose midpoint has no center-heat support are rejected."""
+    from scd_resnet_tpu.models.corner_net import pair_corner_boxes
+
+    b, k, hs = 1, 3, 16
+    cold = jnp.full((b, hs, hs, 1), -8.0)  # sigmoid ~ 0 everywhere
+    tl_s = jnp.array([[0.9, 0.0, 0.0]])
+    br_s = jnp.array([[0.9, 0.0, 0.0]])
+    tl_y = tl_x = jnp.array([[2.0, 0.0, 0.0]])
+    br_y = br_x = jnp.array([[10.0, 0.0, 0.0]])
+    _, scores = pair_corner_boxes(cold, tl_s, tl_y, tl_x, br_s, br_y, br_x)
+    assert float(scores.max()) == -1.0
+
+
 def test_stack_hourglass_two_stacks():
     x = jnp.zeros((1, 64, 64, 1), jnp.float32)
     model = StackHourglass(
