@@ -39,7 +39,11 @@ def parse_arguments():
     parser.add_argument("-s", dest="destinationSize", default=512, type=int,
                         help="destination clip size")
     parser.add_argument("-t", dest="iouThreshold", default=0.7, type=float,
-                        help="IoU threshold for gaussian radius determination")
+                        help="accepted for reference-CLI compatibility; UNUSED"
+                        " — the reference's decode takes iouThreshold and"
+                        " ignores it too (scdManual.py:58-106); gaussian"
+                        " radii are rendered train-side with the fixed"
+                        " THRESHOLD_IOU")
     parser.add_argument("-v", dest="verbal", const=True, default=False,
                         action="store_const", help="debug visualization flag")
     parser.add_argument("-m", dest="margin", default="0 0 0 0", type=str,

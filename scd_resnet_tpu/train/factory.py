@@ -375,28 +375,45 @@ class NetworkFactory:
         # validate step.
         vbs = cfg.validationBatchSize
         if (
-            len(val_ids) >= vbs > 0
-            and len(val_ids) % n_dev == 0
-            and vbs % n_dev == 0
+            len(val_ids) > 0 and vbs > 0
             and (mode == "device" or train_bytes + val_bytes <= budget)
         ):
+            # pad the id list so every divisibility cliff disappears
+            # exactly: the effective batch is vbs rounded up to the device
+            # count, the id list is wrap-padded to a whole number of
+            # effective batches, and validate_resident_set masks the pad
+            # rows out of the metric grids — no silently-streamed sets on
+            # awkward device counts, no silently-skipped shard tails
+            eff_vbs = -(-vbs // n_dev) * n_dev
+            if eff_vbs != vbs:
+                Logger.warn(
+                    ":: factory :: validationBatchSize {} rounded up to {} "
+                    "({} devices)".format(vbs, eff_vbs, n_dev))
+            padded_total = -(-len(val_ids) // eff_vbs) * eff_vbs
+            padded_ids = np.resize(val_ids, padded_total)
             self._val_samples = self._put_rows(
-                as_storage(self.dataset.samples[val_ids]))
+                as_storage(self.dataset.samples[padded_ids]))
             self._val_locs = self._put_rows(
-                self.dataset.locs[val_ids].astype(np.float32))
-            self._val_counts = self._put_rows(self.dataset.counts[val_ids])
+                self.dataset.locs[padded_ids].astype(np.float32))
+            self._val_counts = self._put_rows(self.dataset.counts[padded_ids])
             self._val_total = len(val_ids)
+            self._val_padded = padded_total
+            self._val_eff_vbs = eff_vbs
             self._validate_step_resident = self._build_validate_step_resident()
             self.val_resident = True
             Logger.log(
-                "Validation set device-resident: {} clips, {:.2f} GB as "
-                "{}".format(len(val_ids), val_bytes / 1024**3, storage)
+                "Validation set device-resident: {} clips{}, {:.2f} GB as "
+                "{}".format(
+                    len(val_ids),
+                    " (+{} pad)".format(padded_total - len(val_ids))
+                    if padded_total != len(val_ids) else "",
+                    val_bytes / 1024**3, storage)
             )
         elif len(val_ids) > 0:
             Logger.warn(
                 ":: factory :: validation set not device-resident "
-                "({} clips, vbs {}, {} device(s)); streaming from "
-                "host".format(len(val_ids), vbs, n_dev)
+                "({} clips exceed the residency budget); streaming from "
+                "host".format(len(val_ids))
             )
 
     def _put_rows(self, values: np.ndarray):
@@ -480,28 +497,58 @@ class NetworkFactory:
             out_shardings=self._replicated,  # host-fetchable on every rank
         )
 
-    def _validation_index_batches(self, validation_batch_size: int):
-        """Per-device LOCAL index chunks over the resident validation shard,
-        device-major, batch size ``validation_batch_size`` globally."""
-        per_dev = validation_batch_size // self._n_dev
-        per_dev_total = self._val_total // self._n_dev
-        for b in range(per_dev_total // per_dev):
+    def _validation_index_batches(self):
+        """Per-device LOCAL index chunks over the (padded) resident
+        validation shard, device-major, ``self._val_eff_vbs`` rows
+        globally per batch, plus the global-row validity mask that
+        excludes the wrap-padding."""
+        per_dev = self._val_eff_vbs // self._n_dev
+        shard_len = self._val_padded // self._n_dev
+        for b in range(shard_len // per_dev):
             base = np.arange(b * per_dev, (b + 1) * per_dev, dtype=np.int32)
-            yield np.tile(base, self._n_dev)
+            # global batch row j maps to padded row (j//per_dev)*shard_len
+            # + local index; rows at or past the true total are padding
+            device = np.repeat(np.arange(self._n_dev), per_dev)
+            padded_row = device * shard_len + np.tile(base, self._n_dev)
+            yield np.tile(base, self._n_dev), padded_row < self._val_total
+
+    @staticmethod
+    def _mask_padded_rows(batch: Dict[str, Any], valid: np.ndarray):
+        """Zero the padding rows out of a fetched metric batch: boolean
+        mask arrays and the ``objs`` counts lose their pad rows, so the
+        expression aggregators see exactly the true validation set."""
+        if bool(valid.all()):
+            return batch
+
+        def rows(a):
+            return valid.reshape((-1,) + (1,) * (a.ndim - 1))
+
+        out: Dict[str, Any] = {}
+        for key, value in batch.items():
+            if isinstance(value, (tuple, list)):
+                out[key] = jax.tree_util.tree_map(
+                    lambda v: np.where(rows(v), v, False)
+                    if v.dtype == np.bool_ else v,
+                    value,
+                )
+            else:  # bare count arrays like "objs"
+                out[key] = np.where(rows(value), value, 0)
+        return out
 
     def validate_resident_set(self) -> List[Dict[str, Any]]:
         """Full [It] pass over the device-resident validation set."""
         out = []
-        for idx in self._validation_index_batches(
-            self.config.validationBatchSize
-        ):
+        for idx, valid in self._validation_index_batches():
             idx = self._put_rows(idx)
             out.append(
-                jax.device_get(
-                    self._validate_step_resident(
-                        self.params, self.batch_stats, self._val_samples,
-                        self._val_locs, self._val_counts, idx,
-                    )
+                self._mask_padded_rows(
+                    jax.device_get(
+                        self._validate_step_resident(
+                            self.params, self.batch_stats, self._val_samples,
+                            self._val_locs, self._val_counts, idx,
+                        )
+                    ),
+                    valid,
                 )
             )
         return out

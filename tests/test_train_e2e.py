@@ -83,9 +83,47 @@ def test_dataset_shapes_and_split(tiny_env):
     assert set(ds2.order) == set(split["train16p100"])
 
 
+def test_validation_padding_index_math():
+    """The padded resident validation batching covers every true row
+    exactly once and marks wrap-padding rows invalid (the round-2
+    divisibility cliffs: vbs % n_dev and the per-shard tail)."""
+
+    class Fake:
+        _n_dev = 4
+        _val_total = 10   # awkward: not divisible by devices or batch
+        _val_eff_vbs = 8  # vbs 6 would round to 8 on 4 devices
+        _val_padded = 16  # ceil(10/8)*8
+
+    batches = list(NetworkFactory._validation_index_batches(Fake()))
+    assert len(batches) == 2
+    covered = []
+    for idx, valid in batches:
+        assert idx.shape == valid.shape == (8,)
+        shard_len = Fake._val_padded // Fake._n_dev
+        device = np.repeat(np.arange(4), 2)
+        rows = device * shard_len + idx
+        covered += [int(r) for r, v in zip(rows, valid) if v]
+    assert sorted(covered) == list(range(10))
+
+    batch = {
+        "iou": (np.ones((8, 3, 2)), np.ones((8, 3, 2), bool)),
+        "objs": np.ones(8),
+    }
+    valid = np.array([True] * 5 + [False] * 3)
+    masked = NetworkFactory._mask_padded_rows(batch, valid)
+    assert masked["iou"][1].sum() == 5 * 3 * 2
+    assert masked["iou"][0].sum() == 8 * 3 * 2  # values untouched
+    assert masked["objs"].sum() == 5.0
+    # all-valid batches pass through unchanged (no copy)
+    assert NetworkFactory._mask_padded_rows(batch, np.ones(8, bool)) is batch
+
+
 def test_training_loop_and_checkpoint(tiny_env):
     cfg, dataset, root = tiny_env
     factory = NetworkFactory(cfg, dataset=dataset)
+    # vbs 4 on 8 devices + 4 val clips: resident via padding (streamed
+    # with a warning before round 3)
+    assert factory.val_resident
     factory.begin_training()
 
     # loss CSV written at snapshot iteration with 5 columns
