@@ -51,6 +51,12 @@ def parse_arguments():
     parser.add_argument("-p", dest="profile", type=str,
                         default="scd_resnet_tpu.data.preprocess",
                         help="preprocess profile module")
+    parser.add_argument("-gpu", dest="useGPU", const=True, default=False,
+                        action="store_const",
+                        help="run the vmapped rotation batches on the "
+                        "accelerator (default: CPU — the chip is "
+                        "single-tenant and a preprocess run must not wedge "
+                        "a training client)")
     return parser.parse_args()
 
 
@@ -59,6 +65,10 @@ def main():
 
     args = parse_arguments()
     Logger.info(":: preprocess.py :: generate samples from whole slide images")
+    if not args.useGPU:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     settings = {
         "outputPath": args.outputZipPath,
         "inputImage": args.inputImage,

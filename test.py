@@ -178,7 +178,11 @@ def main():
             entry.update(zip(fields, det))
             register.append(entry)
 
-    result = {"detections": register, "contract": contract}
+    # record every analyzed slide (not just ones with detections): F1
+    # scoring needs zero-detection slides to keep their ground truth in
+    # the denominator
+    result = {"detections": register, "contract": contract,
+              "images": list(args.images)}
     if args.fit and register:
         if contract != "centerOffset":
             parser.error("--fit needs the Rhr row — only the centerOffset "

@@ -58,9 +58,13 @@ def main():
     args = parser.parse_args()
 
     with open(args.detections) as f:
-        detections = json.load(f)["detections"]
+        payload = json.load(f)
+    detections = payload["detections"]
 
-    by_image = {}
+    # seed with every analyzed image so zero-detection slides still count
+    # their ground-truth objects as false negatives (older JSONs without
+    # the "images" key fall back to detection-bearing images only)
+    by_image = {image: [] for image in payload.get("images", [])}
     for det in detections:
         by_image.setdefault(det["image"], []).append((det["x"], det["y"]))
 
