@@ -13,7 +13,9 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 def test_sweep_configs_resolve():
     paths = sorted(glob.glob(os.path.join(REPO, "configs", "exp[0-9]*.json")))
-    assert len(paths) == 13  # exp74..exp86
+    # resume variants (exp80.resume.json) are preemption artifacts, not
+    # sweep members — validate them too, but count only the base 13
+    assert sum("resume" not in p for p in paths) == 13  # exp74..exp86
     for path in paths:
         cfg = Configuration()
         with open(path) as f:
