@@ -118,6 +118,39 @@ def test_rhr_histogram_and_fit():
     assert resid < 0.02
 
 
+def test_two_population_fit_end_to_end():
+    """The full quantification recipe (tile -> decode rows -> threshold ->
+    stitch -> slide-bounds filter -> fit_rhr) recovers two planted Rhr
+    populations — the end-to-end path behind ``test.py --fit``
+    (reference test.py:143-183)."""
+    gray = np.zeros((2056, 3092), np.float32)  # canonical 8x6 slide
+
+    # two (minL, halo) populations at stride 4: Rhr = (halo-minL)/(2*minL)
+    # pop A: minL 5, halo 7  -> Rhr 0.2;  pop B: minL 4, halo 10.4 -> 0.8
+    k = 16
+
+    def fake_model(batch):
+        b = batch.shape[0]
+        rng = np.random.default_rng(7)
+        rows = np.zeros((10, b, k), np.float32)
+        rows[0] = 0.9                                  # all above threshold
+        rows[2] = rng.uniform(40, 90, (b, k))          # ctY well inside
+        rows[3] = rng.uniform(40, 90, (b, k))          # ctX
+        pop_b = rng.random((b, k)) < 0.6
+        minl = np.where(pop_b, 4.0, 5.0)
+        rows[6] = minl * (1 + rng.normal(0, 0.08, (b, k)))
+        rows[7] = np.where(pop_b, 10.4, 7.0) * (
+            1 + rng.normal(0, 0.08, (b, k)))
+        return rows
+
+    dets = analyse_grayscale(fake_model, gray, bounds=(3092, 2056))
+    assert len(dets) > 500  # 48 clips x 16 detections, minus bounds drops
+    popt = fit_rhr([d[2] for d in dets])
+    _, m1, _, _, m2, _ = popt
+    assert abs(m1 - 0.2) < 0.05, popt
+    assert abs(m2 - 0.8) < 0.06, popt
+
+
 def test_device_tiler_matches_host_tiling():
     """The on-device pad/tile/normalize program must reproduce the host
     tile_slide clips bit-near-exactly (uint8 grayscale input is exact)."""
