@@ -107,7 +107,7 @@ def stage_serve(args):
     # live device-fused path (no dedupe: radii are applied post-hoc in
     # eval so one serve covers the whole sweep)
     run([sys.executable, "test.py", "-c", _ckpt(args), "-a", args.arch,
-         "--pipelined",
+         "--pipelined", "--fit",
          "-o", os.path.join(args.root, "live.json")] + slides)
     # traced StableHLO host path on the same slides
     bundle = os.path.join(args.root, "f1-r3.pt")
@@ -136,8 +136,13 @@ def stage_eval(args):
         traced = _by_image(json.load(f))
 
     # ---- traced-vs-live equality on identical slides --------------------
+    # positions and per-slide counts must match exactly (<=1 px); the
+    # regressed Rhr is allowed half a histogram bin (5e-3) of bf16
+    # cross-compilation jitter — the two paths compile the same params
+    # under different fusion orders (batch-all-clips vs fixed-24 batches)
     assert set(live) == set(traced), "different slide sets analyzed"
     total = mismatched = 0
+    max_rhr_dev = 0.0
     for image in live:
         a = sorted(live[image])
         b = sorted(traced[image])
@@ -147,11 +152,13 @@ def stage_eval(args):
             a, b = a[: len(b)], b[: len(a)]
         for pa, pb in zip(a, b):
             if abs(pa[0] - pb[0]) > 1 or abs(pa[1] - pb[1]) > 1 \
-                    or abs(pa[2] - pb[2]) > 1e-3:
+                    or abs(pa[2] - pb[2]) > 5e-3:
                 mismatched += 1
+            max_rhr_dev = max(max_rhr_dev, abs(pa[2] - pb[2]))
     eq_rate = 1.0 - mismatched / max(total, 1)
     print("traced-vs-live: {} detections, {} mismatched "
-          "({:.3%} identical)".format(total, mismatched, eq_rate))
+          "({:.3%} identical, max Rhr deviation {:.2e})".format(
+              total, mismatched, eq_rate, max_rhr_dev))
 
     # ---- P/R/F1 vs dedupe radius ---------------------------------------
     annot_dir = os.path.join(args.root, "test_annots")
@@ -184,6 +191,7 @@ def stage_eval(args):
     report = {
         "slides": len(live), "objects": n_objects,
         "equality_rate": round(eq_rate, 5),
+        "max_rhr_deviation": round(max_rhr_dev, 6),
         "match_radius": args.match_radius,
         "table": rows,
     }
