@@ -49,7 +49,7 @@ from scd_resnet_tpu.infer.analyse import (
     make_device_analyzer,
     slide_geometry,
 )
-from scd_resnet_tpu.ops.image import grayscale_inference
+from scd_resnet_tpu.ops.image import grayscale_inference_u8
 
 
 class ClientError(ValueError):
@@ -129,8 +129,11 @@ class InferenceService:
             with self._device_lock:
                 model, input_shape = self._traced
                 t0 = time.perf_counter()
+                # the host-tiled path normalizes in float32 (its numerics
+                # are golden-pinned); uint8 intake casts exactly
                 detections = analyse_grayscale(
-                    model, gray, batch_size=input_shape[0],
+                    model, np.asarray(gray, np.float32),
+                    batch_size=input_shape[0],
                     bounds="slide")
                 elapsed = time.perf_counter() - t0
         radius = self._dedupe if dedupe is None else dedupe
@@ -174,12 +177,13 @@ class InferenceService:
             # already grayscale; >8-bit scanner output (16-bit TIFF etc.)
             # is rescaled by coerce_gray_u8 instead of wrapping mod 256
             # through the device path's uint8 upload cast
-            gray = coerce_gray_u8(color).astype(np.float32)
+            gray = coerce_gray_u8(color)
         elif color.ndim == 3 and color.shape[-1] >= 3:
             # normalize >8-bit color into 8-bit range (one shared scale,
-            # preserving color balance) before the BGR-weighted
-            # grayscale conversion
-            gray = grayscale_inference(coerce_gray_u8(color[..., :3]))
+            # preserving color balance) before the BGR-weighted grayscale
+            # conversion; stay uint8 end-to-end — the device analyzer
+            # uploads u8, and a float detour would just round/clip back
+            gray = grayscale_inference_u8(coerce_gray_u8(color[..., :3]))
         else:
             raise ClientError(
                 "unsupported image shape {}".format(color.shape))

@@ -45,6 +45,21 @@ def grayscale_inference(rgb: np.ndarray) -> np.ndarray:
     ).astype(np.float32)
 
 
+def grayscale_inference_u8(rgb: np.ndarray) -> np.ndarray:
+    """:func:`grayscale_inference` cast to uint8 — the exact same rounded
+    integers (the formula's range is [0, 255]), one dtype earlier.
+
+    The device-fused serving path uploads the slide as uint8
+    (infer/analyse.make_device_analyzer); producing float32 here only to
+    have ``coerce_gray_u8`` round/clip it back added several full-slide
+    float64 passes per served slide. Feed THIS to the device analyzers;
+    keep :func:`grayscale_inference` for the host-tiled float path."""
+    rgb = np.asarray(rgb)
+    return np.round(
+        0.1140 * rgb[..., 0] + 0.5870 * rgb[..., 1] + 0.2989 * rgb[..., 2]
+    ).astype(np.uint8)
+
+
 def _pad_axis(image: np.ndarray, before: int, after: int, axis: int,
               mode: str) -> np.ndarray:
     if before == 0 and after == 0:

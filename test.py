@@ -27,11 +27,14 @@ from scd_resnet_tpu.infer.analyse import (
     gauss2,
     rhr_histogram,
 )
-from scd_resnet_tpu.ops.image import grayscale_inference
+from scd_resnet_tpu.ops.image import grayscale_inference_u8
 
 
-def grayscale(path):
-    """(grayscale, color) arrays, matching test.py:21-33.
+def _grayscale_u8(path):
+    """(uint8 grayscale, color) arrays — what the device-fused serving
+    path uploads (it ships the slide as uint8; a float detour would only
+    be rounded/clipped back by coerce_gray_u8, several full-slide float64
+    passes for nothing).
 
     Robustness beyond the reference (which assumed 8-bit RGB): already-
     grayscale and >8-bit scanner files go through the same coercion the
@@ -45,8 +48,16 @@ def grayscale(path):
         image = image.convert("RGB")
     color = np.asarray(image)
     if color.ndim == 2:
-        return coerce_gray_u8(color).astype(np.float32), color
-    return grayscale_inference(coerce_gray_u8(color[..., :3])), color
+        return coerce_gray_u8(color), color
+    return grayscale_inference_u8(coerce_gray_u8(color[..., :3])), color
+
+
+def grayscale(path):
+    """(grayscale float32, color) arrays, matching test.py:21-33 (the
+    reference's library surface; the values are the same rounded integers
+    :func:`_grayscale_u8` produces)."""
+    gray, color = _grayscale_u8(path)
+    return gray.astype(np.float32), color
 
 
 # reference-compatible alias (test.py:41)
@@ -129,7 +140,7 @@ def main():
         analyzers = {}
 
         def analyse_one(path):
-            gray = grayscale(path)[0]
+            gray = _grayscale_u8(path)[0]
             height, width = gray.shape
             if (width, height) not in analyzers:
                 analyzers[(width, height)] = make_device_analyzer(
@@ -156,7 +167,7 @@ def main():
         # while earlier slides' readback + stitch happen on the host
         futures = []
         for path in args.images:
-            gray = grayscale(path)[0]
+            gray = _grayscale_u8(path)[0]
             height, width = gray.shape
             if (width, height) not in analyzers:
                 analyzers[(width, height)] = make_device_analyzer(

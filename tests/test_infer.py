@@ -56,6 +56,27 @@ def test_grayscale_formulas():
         inf, np.round(0.1140 * 100 + 0.5870 * 50 + 0.2989 * 200))
 
 
+def test_grayscale_inference_u8_matches_float_path():
+    """The uint8 serving fast path must produce the exact same rounded
+    integers as the float32 reference formula — including the extremes
+    (all-0, all-255) and random content."""
+    from scd_resnet_tpu.ops.image import grayscale_inference_u8
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    rgb[0, 0] = (0, 0, 0)
+    rgb[0, 1] = (255, 255, 255)
+    f32 = grayscale_inference(rgb)
+    u8 = grayscale_inference_u8(rgb)
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8.astype(np.float32), f32)
+    # and through the serving boundary guard: u8 passes through untouched
+    from scd_resnet_tpu.infer.analyse import coerce_gray_u8
+
+    assert coerce_gray_u8(u8) is u8
+    np.testing.assert_array_equal(coerce_gray_u8(f32), u8)
+
+
 def test_stitch_and_rhr_formula():
     """A fake decode model placing one detection per clip must stitch to
     slide coords by x = clipX*(512-128) - padLR + ctX*4 + offX and compute
