@@ -177,6 +177,25 @@ def dedupe_contract(detections: List[List[float]], radius: float,
     return dedupe_detections(detections, radius)
 
 
+def _clip_grid(clip_h: int, clip_v: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(grid_x, grid_y) column vectors for the x-major clip stacking order
+    (the reference's loop order, test.py:86-90) — shared by every
+    per-contract stitch."""
+    g = np.arange(clip_h * clip_v)
+    return (g // clip_v)[:, None], (g % clip_v)[:, None]
+
+
+def _bounds_keep(keep: np.ndarray, slide_x: np.ndarray, slide_y: np.ndarray,
+                 bounds: Optional[Tuple[int, int]]) -> np.ndarray:
+    """AND the slide-bounds filter (0 <= x < W, 0 <= y < H) into ``keep``
+    (test.py:164-170; the reference hardcodes 3072x2056 — PARITY.md)."""
+    if bounds is None:
+        return keep
+    width, height = bounds
+    return keep & ((slide_x >= 0) & (slide_x < width)
+                   & (slide_y >= 0) & (slide_y < height))
+
+
 def stitch_rows(rows: np.ndarray, clip_h: int, clip_v: int,
                 pad_lr: int, pad_tb: int,
                 bounds: Optional[Tuple[int, int]] = None) -> List[List[float]]:
@@ -205,9 +224,7 @@ def stitch_rows(rows: np.ndarray, clip_h: int, clip_v: int,
      off_x, off_y) = rows
 
     stride = INPUT_SIZE - 2 * PADDING_SIZE
-    n = clip_h * clip_v
-    grid_x = (np.arange(n) // clip_v)[:, None]  # x-major stacking order
-    grid_y = (np.arange(n) % clip_v)[:, None]
+    grid_x, grid_y = _clip_grid(clip_h, clip_v)
 
     slide_x = np.trunc(grid_x * stride - pad_lr + ct_x * 4 + off_x)
     slide_y = np.trunc(grid_y * stride - pad_tb + ct_y * 4 + off_y)
@@ -215,11 +232,7 @@ def stitch_rows(rows: np.ndarray, clip_h: int, clip_v: int,
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = (rad * 4 - dminl) / (2 * dminl)
 
-    keep = scores > SCORE_THRESHOLD
-    if bounds is not None:
-        width, height = bounds
-        keep &= ((slide_x >= 0) & (slide_x < width)
-                 & (slide_y >= 0) & (slide_y < height))
+    keep = _bounds_keep(scores > SCORE_THRESHOLD, slide_x, slide_y, bounds)
 
     return [
         [int(sx), int(sy), float(r)]
@@ -252,17 +265,11 @@ def stitch_size_rows(rows: np.ndarray, clip_h: int, clip_v: int,
     scores, _inds, ct_y, ct_x, size_w, size_h = rows
 
     stride = INPUT_SIZE - 2 * PADDING_SIZE
-    n = clip_h * clip_v
-    grid_x = (np.arange(n) // clip_v)[:, None]
-    grid_y = (np.arange(n) % clip_v)[:, None]
+    grid_x, grid_y = _clip_grid(clip_h, clip_v)
     slide_x = np.trunc(grid_x * stride - pad_lr + ct_x * 4)
     slide_y = np.trunc(grid_y * stride - pad_tb + ct_y * 4)
 
-    keep = scores > SCORE_THRESHOLD
-    if bounds is not None:
-        width, height = bounds
-        keep &= ((slide_x >= 0) & (slide_x < width)
-                 & (slide_y >= 0) & (slide_y < height))
+    keep = _bounds_keep(scores > SCORE_THRESHOLD, slide_x, slide_y, bounds)
     return [
         [int(x), int(y), float(w * _SIZE_SCALE), float(h * _SIZE_SCALE),
          float(s)]
@@ -280,20 +287,15 @@ def stitch_corner_rows(rows: np.ndarray, clip_h: int, clip_v: int,
     cornerNet.py:272-304)."""
     rows = np.asarray(rows, np.float64)[:, : clip_h * clip_v]
     stride = INPUT_SIZE - 2 * PADDING_SIZE
-    n = clip_h * clip_v
-    grid_x = (np.arange(n) // clip_v)[:, None]
-    grid_y = (np.arange(n) % clip_v)[:, None]
+    grid_x, grid_y = _clip_grid(clip_h, clip_v)
 
     detections: List[List[float]] = []
     for h, head in enumerate(_CORNER_HEADS):
         scores, _inds, ys, xs = rows[4 * h : 4 * h + 4]
         slide_x = np.trunc(grid_x * stride - pad_lr + xs * 4)
         slide_y = np.trunc(grid_y * stride - pad_tb + ys * 4)
-        keep = scores > SCORE_THRESHOLD
-        if bounds is not None:
-            width, height = bounds
-            keep &= ((slide_x >= 0) & (slide_x < width)
-                     & (slide_y >= 0) & (slide_y < height))
+        keep = _bounds_keep(scores > SCORE_THRESHOLD, slide_x, slide_y,
+                            bounds)
         detections.extend(
             [int(x), int(y), float(s), head]
             for x, y, s in zip(slide_x[keep], slide_y[keep], scores[keep])
@@ -311,9 +313,7 @@ def stitch_legacy_boxes(rows: np.ndarray, clip_h: int, clip_v: int,
     keeps boxes whose center is inside the slide."""
     rows = np.asarray(rows, np.float64)[: clip_h * clip_v]
     stride = INPUT_SIZE - 2 * PADDING_SIZE
-    n = clip_h * clip_v
-    grid_x = (np.arange(n) // clip_v)[:, None]
-    grid_y = (np.arange(n) % clip_v)[:, None]
+    grid_x, grid_y = _clip_grid(clip_h, clip_v)
 
     tlx = grid_x * stride - pad_lr + rows[:, :, 0] * 4
     tly = grid_y * stride - pad_tb + rows[:, :, 1] * 4
@@ -321,11 +321,9 @@ def stitch_legacy_boxes(rows: np.ndarray, clip_h: int, clip_v: int,
     bry = grid_y * stride - pad_tb + rows[:, :, 3] * 4
     scores = rows[:, :, 4]
 
-    keep = scores > SCORE_THRESHOLD
-    if bounds is not None:
-        width, height = bounds
-        cx, cy = (tlx + brx) / 2, (tly + bry) / 2
-        keep &= (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+    # bounds keep boxes whose CENTER is inside the slide
+    keep = _bounds_keep(scores > SCORE_THRESHOLD,
+                        (tlx + brx) / 2, (tly + bry) / 2, bounds)
     return [
         [float(a), float(b), float(c), float(d), float(s)]
         for a, b, c, d, s in zip(tlx[keep], tly[keep], brx[keep],

@@ -12,8 +12,12 @@ once and only decode rows return), and exposes a minimal HTTP contract:
     GET  /metrics   request/detection/latency counters (JSON)
     POST /warmup?width=W&height=H   pre-compile one geometry
     POST /analyse   body = image bytes (anything PIL reads: PNG/TIFF/JPEG)
-                    -> {"detections": [{"x","y","rhr"}...], "count",
-                        "latency_ms"}
+                    -> {"detections": [{<contract fields>}...], "contract",
+                        "count", "latency_ms"} — field names follow the
+                        served family's contract (CONTRACT_FIELDS;
+                        centerOffset = x/y/rhr, corner = x/y/score/head,
+                        centerSize = x/y/w/h/score, cornerLegacy =
+                        tlx/tly/brx/bry/score)
 
 Query params on /analyse: ``dedupe`` overrides the tile-overlap
 suppression radius for that request.
@@ -43,9 +47,10 @@ from typing import Callable, Optional
 import numpy as np
 
 from scd_resnet_tpu.infer.analyse import (
+    CONTRACT_FIELDS,
     analyse_grayscale,
     coerce_gray_u8,
-    dedupe_detections,
+    dedupe_contract,
     make_device_analyzer,
     slide_geometry,
 )
@@ -72,6 +77,11 @@ class InferenceService:
             raise ValueError("exactly one of wrapper/traced required")
         self._wrapper = wrapper
         self._traced = traced
+        # output contract: every trainable family serves (CONTRACT_FIELDS
+        # names the detection columns; centerOffset = [x, y, rhr])
+        source = wrapper if wrapper is not None else traced[0]
+        self.contract = getattr(source, "contract", "centerOffset")
+        self.fields = CONTRACT_FIELDS[self.contract]
         self._dedupe = dedupe_radius
         self._mesh = mesh
         self._max_geometries = max_geometries
@@ -138,7 +148,9 @@ class InferenceService:
                 elapsed = time.perf_counter() - t0
         radius = self._dedupe if dedupe is None else dedupe
         if radius is not None:
-            detections = dedupe_detections(detections, radius)
+            # contract-aware: corner peaks dedupe within each head, legacy
+            # boxes on box centers (a tl peak must not suppress a ct peak)
+            detections = dedupe_contract(detections, radius, self.contract)
         clip_h, clip_v, _, _ = slide_geometry(width, height)
         with self._stats_lock:
             self._stats["requests"] += 1
@@ -273,9 +285,9 @@ def make_handler(service: InferenceService):
                 detections = service.analyse_bytes(data, dedupe=dedupe)
                 self._json({
                     "detections": [
-                        {"x": d[0], "y": d[1], "rhr": d[2]}
-                        for d in detections
+                        dict(zip(service.fields, d)) for d in detections
                     ],
+                    "contract": service.contract,
                     "count": len(detections),
                     "latency_ms": round(
                         (time.perf_counter() - t0) * 1000.0, 1),

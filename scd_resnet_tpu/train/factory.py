@@ -68,6 +68,30 @@ def make_optimizer(name: str, schedule) -> optax.GradientTransformation:
     )
 
 
+def _gate_pad_rows(decoded, row_valid, family: str):
+    """Force wrap-padding rows' decoded scores below the 0.3 validity gate.
+
+    The resident validation set is wrap-padded to a whole number of
+    effective batches; several metrics come back from the device already
+    reduced to (sum, count) scalars (center_net_offset.summed), so pad
+    rows must be excluded BEFORE the reduction. Every metric mask flows
+    through evaluations/detection._pairwise, which ANDs with the
+    score >= 0.3 gate — a row whose scores read -1 contributes exactly
+    nothing to any sum, count, or AP pair. Host-side _mask_padded_rows
+    still covers the grid/count leaves (belt and braces)."""
+    decoded = list(decoded)
+    if family == "cornerLegacy":
+        det = decoded[0]  # (B, D, 8) paired boxes, score at column 4
+        decoded[0] = det.at[:, :, 4].set(
+            jnp.where(row_valid[:, None], det[:, :, 4], -1.0))
+        return decoded
+    # stacked-row contracts: scores lead each per-head block
+    score_rows = {"corner": (0, 4, 8)}.get(family, (0,))
+    for r in score_rows:
+        decoded[r] = jnp.where(row_valid[:, None], decoded[r], -1.0)
+    return decoded
+
+
 class NetworkFactory:
     """Builds model/optimizer/dataset from config and runs training.
 
@@ -246,16 +270,31 @@ class NetworkFactory:
             donate_argnums=(0, 1, 2),
         )
 
-    def _make_validate_core(self):
+    def _make_validate_core(self, gated: bool = False):
         model, decode, evaluation = self.model, self.decode, self.evaluation
+        family = self.profile.family
 
-        def step(params, batch_stats, xs, ys):
+        def run(params, batch_stats, xs, ys, row_valid=None):
             outs = model.apply(
                 {"params": params, "batch_stats": batch_stats}, xs, train=False
             )
             # decode consumes the final stack (stackHourglass.py:231-264)
             decoded = decode(as_stack_list(outs)[-1])
+            if row_valid is not None:
+                decoded = _gate_pad_rows(decoded, row_valid, family)
             return evaluation([xs], ys, *decoded)
+
+        if gated:
+            # resident-validation variant: a (B,) bool marks which batch
+            # rows are real; wrap-padding rows are score-gated out of the
+            # device-side metric reductions (see _gate_pad_rows)
+            def gated_step(params, batch_stats, xs, ys, row_valid):
+                return run(params, batch_stats, xs, ys, row_valid)
+
+            return gated_step
+
+        def step(params, batch_stats, xs, ys):
+            return run(params, batch_stats, xs, ys)
 
         return step
 
@@ -374,22 +413,27 @@ class NetworkFactory:
         # heatmaps) and labels re-render on device inside the jitted
         # validate step.
         vbs = cfg.validationBatchSize
+        # pad the id list so every divisibility cliff disappears exactly:
+        # the effective batch is vbs rounded up to the device count, the
+        # id list is wrap-padded to a whole number of effective batches,
+        # and validate_resident_set excludes the pad rows from the metrics
+        # (score-gated on device, mask-zeroed on host) — no silently-
+        # streamed sets on awkward device counts, no skipped shard tails
+        eff_vbs = -(-vbs // n_dev) * n_dev if vbs > 0 else 0
+        padded_total = (
+            -(-len(val_ids) // eff_vbs) * eff_vbs if eff_vbs > 0 else 0
+        )
+        # budget the bytes actually uploaded (incl. the wrap-padding)
+        val_bytes_padded = padded_total * clip_elems * itemsize
         if (
             len(val_ids) > 0 and vbs > 0
-            and (mode == "device" or train_bytes + val_bytes <= budget)
+            and (mode == "device"
+                 or train_bytes + val_bytes_padded <= budget)
         ):
-            # pad the id list so every divisibility cliff disappears
-            # exactly: the effective batch is vbs rounded up to the device
-            # count, the id list is wrap-padded to a whole number of
-            # effective batches, and validate_resident_set masks the pad
-            # rows out of the metric grids — no silently-streamed sets on
-            # awkward device counts, no silently-skipped shard tails
-            eff_vbs = -(-vbs // n_dev) * n_dev
             if eff_vbs != vbs:
                 Logger.warn(
                     ":: factory :: validationBatchSize {} rounded up to {} "
                     "({} devices)".format(vbs, eff_vbs, n_dev))
-            padded_total = -(-len(val_ids) // eff_vbs) * eff_vbs
             padded_ids = np.resize(val_ids, padded_total)
             self._val_samples = self._put_rows(
                 as_storage(self.dataset.samples[padded_ids]))
@@ -471,12 +515,13 @@ class NetworkFactory:
         by local index, re-render the (deterministic, augment-free) labels on
         device, forward + decode + metric battery — zero host→device clip
         traffic per [It] pass."""
-        core = self._make_validate_core()
+        core = self._make_validate_core(gated=True)
         gather = self._resident_gather_fn()
         heat_size = self.heat_size
         corner_targets = self.profile.corner_targets
 
-        def step(params, batch_stats, samples_all, locs_all, counts_all, idx):
+        def step(params, batch_stats, samples_all, locs_all, counts_all, idx,
+                 row_valid):
             samples, locs, counts = gather(samples_all, locs_all, counts_all,
                                            idx)
             xs, ys = augment_and_render_batch(
@@ -488,12 +533,12 @@ class NetworkFactory:
                 # counts for the [It] metric path (data/dataset.py packing,
                 # mirroring scdx16p100.py:404-414)
                 ys = [ys[0], ys[1], ys[2], locs, counts, ys[3]]
-            return core(params, batch_stats, xs, ys)
+            return core(params, batch_stats, xs, ys, row_valid)
 
         return jax.jit(
             step,
             in_shardings=(self._replicated, self._replicated)
-            + (self._batch_shard,) * 4,
+            + (self._batch_shard,) * 5,
             out_shardings=self._replicated,  # host-fetchable on every rank
         )
 
@@ -540,12 +585,13 @@ class NetworkFactory:
         out = []
         for idx, valid in self._validation_index_batches():
             idx = self._put_rows(idx)
+            row_valid = self._put_rows(valid)
             out.append(
                 self._mask_padded_rows(
                     jax.device_get(
                         self._validate_step_resident(
                             self.params, self.batch_stats, self._val_samples,
-                            self._val_locs, self._val_counts, idx,
+                            self._val_locs, self._val_counts, idx, row_valid,
                         )
                     ),
                     valid,

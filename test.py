@@ -161,6 +161,11 @@ def main():
                 batch_size=input_shape[0],
                 bounds=None if args.keep_out_of_bounds else "slide")
 
+    if args.fit and contract != "centerOffset":
+        # fail BEFORE any device work: the contract is known at load time
+        parser.error("--fit needs the Rhr row — only the centerOffset "
+                     "contract carries minL/rad (got '{}')".format(contract))
+
     register = []
     if args.checkpoint and args.pipelined:
         # dispatch-all-then-finish: device programs for later slides run
@@ -195,10 +200,6 @@ def main():
     result = {"detections": register, "contract": contract,
               "images": list(args.images)}
     if args.fit and register:
-        if contract != "centerOffset":
-            parser.error("--fit needs the Rhr row — only the centerOffset "
-                         "contract carries minL/rad (got '{}')".format(
-                             contract))
         popt = fit_rhr([d["rhr"] for d in register])
         result["gauss2"] = {
             "a1": popt[0], "m1": popt[1], "s1": popt[2],

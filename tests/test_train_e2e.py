@@ -118,6 +118,73 @@ def test_validation_padding_index_math():
     assert NetworkFactory._mask_padded_rows(batch, np.ones(8, bool)) is batch
 
 
+def test_gated_pad_rows_exclude_device_reduced_sums():
+    """Wrap-padding rows must contribute NOTHING to the metrics the
+    device reduces to (sum, count) scalars (mIoUC/mIoUO/mIoUwoO/ortho/
+    MAEs) — the round-3 review found _mask_padded_rows could only fix the
+    grid leaves after the fact. The gated evaluation (scores forced to -1
+    for pad rows) must reproduce the unpadded run's sums exactly."""
+    import jax.numpy as jnp
+
+    from scd_resnet_tpu.models.center_net_offset import center_net_evaluation
+    from scd_resnet_tpu.train.factory import _gate_pad_rows
+
+    rng = np.random.default_rng(0)
+    b, k, hs = 2, 4, 16
+    base_scores = rng.uniform(0.4, 0.9, (b, k))
+    base_inds = rng.integers(0, hs * hs, (b, k))
+    base_offset = rng.normal(0, 1, (b, k, 2))
+    base_regr = rng.uniform(1, 4, (b, k, 4))
+    base_mask = np.array([[1, 1, 0, 0], [1, 0, 0, 0]], bool)
+    base_regr_gt = rng.uniform(1, 4, (b, k, 8))
+
+    def rows(n):  # replicate the SAME 2-row batch n/2 times
+        reps = n // b
+        scores = jnp.asarray(np.tile(base_scores, (reps, 1)))
+        inds = jnp.asarray(np.tile(base_inds, (reps, 1)))
+        ys_ = (inds // hs).astype(jnp.float32)
+        xs_ = (inds % hs).astype(jnp.float32)
+        offset = jnp.asarray(np.tile(base_offset, (reps, 1, 1)))
+        regr = jnp.asarray(np.tile(base_regr, (reps, 1, 1)))
+        out_dict = {"heatmap": jnp.zeros((n, hs, hs, 1))}
+        heat = jnp.zeros((n, hs, hs, 1))
+        tag_mask = jnp.asarray(np.tile(base_mask, (reps, 1)))
+        regr_gt = jnp.asarray(np.tile(base_regr_gt, (reps, 1, 1)))
+        locs = regr_gt  # validation layout: ys[3] = (B, K, 8) loc records
+        ys = [heat, tag_mask, regr_gt, locs]
+        decoded = (scores, inds, ys_, xs_, offset, regr, out_dict)
+        return ys, decoded
+
+    ys2, decoded2 = rows(2)   # the true batch
+    ys4, decoded4 = rows(4)   # true batch + wrap-padded duplicates
+    row_valid = jnp.asarray([True, True, False, False])
+    gated = _gate_pad_rows(decoded4, row_valid, "centerOffset")
+
+    ref = center_net_evaluation(None, ys2, *decoded2)
+    out = center_net_evaluation(None, ys4, *gated)
+    for key in ("ortho", "ioucenter", "iouoffsetwo", "iouoffset"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]), rtol=1e-6,
+            err_msg=key)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out["maes"][i]), np.asarray(ref["maes"][i]),
+            rtol=1e-6, err_msg="mae{}".format(i))
+    # the AP pair grid: pad rows fully masked
+    mask4 = np.asarray(out["iouscore"][2])
+    assert not mask4[2:].any()
+
+
+def test_size_scale_matches_training_constant():
+    """stitch_size_rows' _SIZE_SCALE must track the training-side
+    DOWNSAMPLE * SIZE_REGR_FACTOR (models/center_net.py) — they are
+    deliberately not imported across the light/heavy module boundary."""
+    from scd_resnet_tpu.infer.analyse import _SIZE_SCALE
+    from scd_resnet_tpu.models.center_net import SIZE_REGR_FACTOR
+
+    assert _SIZE_SCALE == 4 * SIZE_REGR_FACTOR
+
+
 def test_training_loop_and_checkpoint(tiny_env):
     cfg, dataset, root = tiny_env
     factory = NetworkFactory(cfg, dataset=dataset)
