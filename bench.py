@@ -191,9 +191,12 @@ def bench_jax_infer_slide(slide_w: int, slide_h: int, reps: int, warmup: int,
         # pipelined multi-slide mode: dispatch every slide before reading
         # any result back (grayscale + stitch of slide i overlap device
         # work of slide i+1) — the serving daemon's mode under concurrent
-        # load, and the right mode for any multi-slide batch
+        # load, and the right mode for any multi-slide batch. The
+        # GENERATOR matters: each grayscale computes between dispatches,
+        # overlapping the in-flight slides' wire transfers (a prebuilt
+        # list would serialize all grayscales before any device work)
         t0 = time.perf_counter()
-        analyse.many([grayscale_inference_u8(rgb) for _ in range(reps)])
+        analyse.many(grayscale_inference_u8(rgb) for _ in range(reps))
         pipelined = max(pipelined, n_clips * reps / (time.perf_counter() - t0))
     return sequential, pipelined
 

@@ -522,7 +522,13 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
         """Pipelined multi-slide pass: every slide's device program is
         dispatched before any result is read back, so uploads and compute
         of slide i+1 overlap the host threshold/stitch of slide i (jit
-        dispatch is asynchronous; ``np.asarray`` is the sync point)."""
+        dispatch is asynchronous; ``np.asarray`` is the sync point).
+
+        ``grays`` may be any iterable — pass a GENERATOR that produces
+        each grayscale lazily (e.g. decode/grayscale per slide) and that
+        host work interleaves with the in-flight slides' wire transfers
+        and device compute (dispatch itself is ~17 ms; the caller's
+        per-slide CPU is the serial part worth overlapping)."""
         futures = [device_rows(jnp.asarray(coerce_gray_u8(g)))
                    for g in grays]
         return [_finish(np.asarray(f)) for f in futures]
