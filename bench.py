@@ -396,6 +396,9 @@ def bench_torch_cpu(batch: int, size: int, steps: int) -> float:
 
 
 def main():
+    from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny shapes, sanity only")

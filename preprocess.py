@@ -61,8 +61,10 @@ def parse_arguments():
 
 
 def main():
+    from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
     from scd_resnet_tpu.core.logging import Logger
 
+    enable_compilation_cache()
     args = parse_arguments()
     Logger.info(":: preprocess.py :: generate samples from whole slide images")
     if not args.useGPU:

@@ -41,8 +41,11 @@ def main():
                         "--warmup 3092x2056")
     args = parser.parse_args()
 
+    from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
     from scd_resnet_tpu.core.logging import Logger
     from scd_resnet_tpu.infer.server import InferenceService, create_server
+
+    enable_compilation_cache()
 
     if (args.model is None) == (args.checkpoint is None):
         parser.error("exactly one of -m (traced) or -c (checkpoint) required")

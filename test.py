@@ -101,7 +101,10 @@ def main():
                         "batches)")
     args = parser.parse_args()
 
+    from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
     from scd_resnet_tpu.core.logging import Logger
+
+    enable_compilation_cache()
 
     if (args.model is None) == (args.checkpoint is None):
         parser.error("exactly one of -m (traced bundle) or -c (checkpoint) "

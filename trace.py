@@ -48,6 +48,10 @@ def parse_arguments():
 def begin(settings):
     import jax
 
+    from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from scd_resnet_tpu.core.checkpoint import load_params_only
     from scd_resnet_tpu.core.logging import Logger
     from scd_resnet_tpu.infer.wrapper import (

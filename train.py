@@ -67,9 +67,12 @@ def parse_arguments():
 
 
 def begin(args):
+    from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
     from scd_resnet_tpu.core.config import default_config
     from scd_resnet_tpu.core.logging import Logger
     from scd_resnet_tpu.train.factory import NetworkFactory
+
+    enable_compilation_cache()
 
     with open(args["config"], "r") as f:
         default_config.update_config(json.load(f))
