@@ -13,6 +13,7 @@
 // Supported subset: zip entries stored (method 0) or deflated (method 8),
 // npy format v1.x, little-endian f4/f8 arrays.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -318,6 +319,23 @@ void scdio_gather_batch(const float *samples, int64_t hw,
                         const int64_t *indices, int64_t batch, float *out) {
   for (int64_t b = 0; b < batch; b++)
     memcpy(out + b * hw, samples + indices[b] * hw, hw * sizeof(float));
+}
+
+// inference grayscale (test.py:21-33): one fused pass over interleaved
+// RGB, BIT-EXACT to the numpy reference path — double arithmetic in the
+// same association order ((0.1140*r + 0.5870*g) + 0.2989*b) and
+// nearbyint under the default FE_TONEAREST rounding = numpy.round's
+// round-half-even. Requires -ffp-contract=off (Makefile): GCC's default
+// FMA contraction would change the double rounding on some pixels.
+// numpy runs this as 5+ strided float64 passes (~130 ms for a 3092x2056
+// slide on this host); the fused loop is memory-bound at ~25 MB traffic.
+void scdio_grayscale_u8(const uint8_t *rgb, int64_t n_px, uint8_t *out) {
+  for (int64_t i = 0; i < n_px; i++) {
+    const double r = rgb[3 * i];
+    const double g = rgb[3 * i + 1];
+    const double b = rgb[3 * i + 2];
+    out[i] = (uint8_t)std::nearbyint(0.1140 * r + 0.5870 * g + 0.2989 * b);
+  }
 }
 
 }  // extern "C"

@@ -72,6 +72,12 @@ def get_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
     ]
+    lib.scdio_grayscale_u8.restype = None
+    lib.scdio_grayscale_u8.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+    ]
     _lib = lib
     return _lib
 

@@ -53,11 +53,34 @@ def grayscale_inference_u8(rgb: np.ndarray) -> np.ndarray:
     (infer/analyse.make_device_analyzer); producing float32 here only to
     have ``coerce_gray_u8`` round/clip it back added several full-slide
     float64 passes per served slide. Feed THIS to the device analyzers;
-    keep :func:`grayscale_inference` for the host-tiled float path."""
+    keep :func:`grayscale_inference` for the host-tiled float path.
+
+    uint8 RGB input takes the native single-pass path
+    (native/scdio.cpp scdio_grayscale_u8 — same double arithmetic and
+    round-half-even, bit-exact by test, ~10x less memory traffic than
+    numpy's strided float64 passes); anything else falls back to numpy."""
     rgb = np.asarray(rgb)
+    if rgb.dtype == np.uint8 and rgb.ndim >= 2 and rgb.shape[-1] == 3:
+        lib = _native_lib()
+        if lib is not None:
+            src = np.ascontiguousarray(rgb)
+            out = np.empty(rgb.shape[:-1], np.uint8)
+            lib.scdio_grayscale_u8(src.reshape(-1, 3), out.size,
+                                   out.reshape(-1))
+            return out
     return np.round(
         0.1140 * rgb[..., 0] + 0.5870 * rgb[..., 1] + 0.2989 * rgb[..., 2]
     ).astype(np.uint8)
+
+
+def _native_lib():
+    """The shared native host library, or None (pure-numpy fallback)."""
+    try:
+        from scd_resnet_tpu.data.native_io import get_library
+
+        return get_library()
+    except Exception:
+        return None
 
 
 def _pad_axis(image: np.ndarray, before: int, after: int, axis: int,

@@ -77,6 +77,45 @@ def test_grayscale_inference_u8_matches_float_path():
     np.testing.assert_array_equal(coerce_gray_u8(f32), u8)
 
 
+def test_native_grayscale_bit_exact():
+    """The native single-pass grayscale (scdio_grayscale_u8) must be
+    bit-exact to the numpy double-arithmetic reference — same association
+    order, -ffp-contract=off, round-half-even. The exhaustive 256^3 check
+    ran at integration time (all 16.7M triples equal); here a dense
+    sample + the half-even-critical edges guard regressions."""
+    from scd_resnet_tpu.ops.image import _native_lib
+
+    if _native_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    def ref(rgb):
+        return np.round(0.1140 * rgb[..., 0] + 0.5870 * rgb[..., 1]
+                        + 0.2989 * rgb[..., 2]).astype(np.uint8)
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    rgb[0, 0] = (0, 0, 0)
+    rgb[0, 1] = (255, 255, 255)
+    # exhaustive r/g plane at a few b values (catches channel mixups and
+    # rounding-mode drift cheaply)
+    rr, gg = np.meshgrid(np.arange(256, dtype=np.uint8),
+                         np.arange(256, dtype=np.uint8), indexing="ij")
+    for b in (0, 5, 128, 255):
+        plane = np.stack([rr, gg, np.full_like(rr, b)], axis=-1)
+        from scd_resnet_tpu.ops.image import grayscale_inference_u8
+
+        np.testing.assert_array_equal(grayscale_inference_u8(plane),
+                                      ref(plane))
+    from scd_resnet_tpu.ops.image import grayscale_inference_u8
+
+    np.testing.assert_array_equal(grayscale_inference_u8(rgb), ref(rgb))
+    # non-contiguous input (a cropped view) must also be handled
+    view = rgb[64:256, 32:500]
+    np.testing.assert_array_equal(grayscale_inference_u8(view), ref(view))
+
+
 def test_stitch_and_rhr_formula():
     """A fake decode model placing one detection per clip must stitch to
     slide coords by x = clipX*(512-128) - padLR + ctX*4 + offX and compute
