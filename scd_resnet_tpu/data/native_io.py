@@ -43,9 +43,21 @@ def get_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # run make even when the .so exists: the build artifact is gitignored
+    # and survives upgrades, so a stale library may lack newer symbols
+    # (dlopen caches by path in-process, so rebuild-after-load is too
+    # late — make's own mtime check makes this a ~20 ms no-op when
+    # current). If the toolchain is gone but an old .so remains, fall
+    # through and bind defensively.
+    built = _build() or os.path.exists(_LIB_PATH)
+    if not built:
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "scdio_grayscale_u8"):
+        Logger.warn(":: native_io :: libscdio.so is stale (missing "
+                    "scdio_grayscale_u8) and could not be rebuilt; "
+                    "using the Python paths")
+        return None
     lib.scdio_open.restype = ctypes.c_void_p
     lib.scdio_open.argtypes = [ctypes.c_char_p]
     lib.scdio_close.argtypes = [ctypes.c_void_p]

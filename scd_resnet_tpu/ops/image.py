@@ -68,9 +68,9 @@ def grayscale_inference_u8(rgb: np.ndarray) -> np.ndarray:
             lib.scdio_grayscale_u8(src.reshape(-1, 3), out.size,
                                    out.reshape(-1))
             return out
-    return np.round(
-        0.1140 * rgb[..., 0] + 0.5870 * rgb[..., 1] + 0.2989 * rgb[..., 2]
-    ).astype(np.uint8)
+    # fallback: the one Python definition of the formula, cast (exact —
+    # round output is integral in [0, 255])
+    return grayscale_inference(rgb).astype(np.uint8)
 
 
 def _native_lib():

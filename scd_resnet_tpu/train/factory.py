@@ -713,7 +713,16 @@ class NetworkFactory:
         nothing consumed the flag (train.py:41-42,96 — dead); this defines
         the behavior: the same overlay drawn by preprocess.py -v, applied
         to the post-augmentation training batch so augment bugs are
-        visible at a glance."""
+        visible at a glance.
+
+        Center and corner batches share the [heat, mask, regr, inds, ...]
+        leading layout this unpacks; the legacy family's batch is laid
+        out per-corner-head (data/pipeline.py) and is skipped rather than
+        crashed on or rendered wrong."""
+        if self.profile.corner_targets == "legacy":
+            Logger.warn(":: factory :: -debug overlays are not defined "
+                        "for the cornerLegacy batch layout; skipping")
+            return
         from PIL import Image, ImageDraw
 
         xs, ys = jax.device_get(self._rebuild_last_batch())

@@ -49,6 +49,21 @@ def match_f1(pred_xy: np.ndarray, gt_xy: np.ndarray, radius: float):
     return tp, fp, fn, precision, recall, f1
 
 
+def group_detections(payload, with_rhr: bool = False):
+    """{image: [(x, y[, rhr]), ...]} from a test.py detections JSON,
+    seeded with every analyzed image so zero-detection slides still count
+    their ground-truth objects as false negatives (older JSONs without
+    the "images" key fall back to detection-bearing images only). Shared
+    by this evaluator and tools/f1_pipeline.py."""
+    out = {image: [] for image in payload.get("images", [])}
+    for det in payload["detections"]:
+        row = (float(det["x"]), float(det["y"]))
+        if with_rhr:
+            row += (float(det.get("rhr", 0.0)),)
+        out.setdefault(det["image"], []).append(row)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("detections", help="test.py output JSON")
@@ -59,14 +74,8 @@ def main():
 
     with open(args.detections) as f:
         payload = json.load(f)
-    detections = payload["detections"]
 
-    # seed with every analyzed image so zero-detection slides still count
-    # their ground-truth objects as false negatives (older JSONs without
-    # the "images" key fall back to detection-bearing images only)
-    by_image = {image: [] for image in payload.get("images", [])}
-    for det in detections:
-        by_image.setdefault(det["image"], []).append((det["x"], det["y"]))
+    by_image = group_detections(payload)
 
     total_tp = total_fp = total_fn = 0
     for image, preds in sorted(by_image.items()):

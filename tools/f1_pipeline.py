@@ -118,11 +118,9 @@ def stage_serve(args):
 
 
 def _by_image(payload):
-    out = {image: [] for image in payload.get("images", [])}
-    for det in payload["detections"]:
-        out.setdefault(det["image"], []).append(
-            (float(det["x"]), float(det["y"]), float(det.get("rhr", 0.0))))
-    return out
+    from tools.f1_eval import group_detections
+
+    return group_detections(payload, with_rhr=True)
 
 
 def stage_eval(args):
