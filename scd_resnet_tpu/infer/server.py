@@ -11,7 +11,10 @@ once and only decode rows return), and exposes a minimal HTTP contract:
     GET  /healthz   liveness + device + analyzer-cache info
     GET  /metrics   request/detection/latency counters (JSON)
     POST /warmup?width=W&height=H   pre-compile one geometry
-    POST /analyse   body = image bytes (anything PIL reads: PNG/TIFF/JPEG)
+    POST /analyse   body = image bytes (anything PIL reads: PNG/TIFF/JPEG),
+                    or Content-Type: application/octet-stream with
+                    X-Width/X-Height headers for a raw uint8 grayscale
+                    buffer (skips the PNG decode entirely)
                     -> {"detections": [{<contract fields>}...], "contract",
                         "count", "latency_ms"} — field names follow the
                         served family's contract (CONTRACT_FIELDS;
@@ -171,6 +174,21 @@ class InferenceService:
             self._stats["warmups"] += 1
         return time.perf_counter() - t0
 
+    def analyse_raw(self, data: bytes, width: int, height: int,
+                    dedupe: Optional[float] = None):
+        """Raw uint8 grayscale intake (``X-Width``/``X-Height`` headers +
+        ``application/octet-stream`` body): production clients that
+        already hold pixel buffers skip the PNG/TIFF encode+decode round
+        trip (~100-300 ms per slide of pure host work on each side)."""
+        if width <= 0 or height <= 0:
+            raise ClientError("bad raw geometry {}x{}".format(width, height))
+        if len(data) != width * height:
+            raise ClientError(
+                "raw body is {} bytes, expected width*height = {}".format(
+                    len(data), width * height))
+        gray = np.frombuffer(data, np.uint8).reshape(height, width)
+        return self.analyse_gray(gray, dedupe=dedupe)
+
     def analyse_bytes(self, data: bytes, dedupe: Optional[float] = None):
         from PIL import Image, UnidentifiedImageError
 
@@ -282,7 +300,17 @@ def make_handler(service: InferenceService):
             data = self.rfile.read(length)
             try:
                 t0 = time.perf_counter()
-                detections = service.analyse_bytes(data, dedupe=dedupe)
+                if (self.headers.get("Content-Type", "")
+                        .startswith("application/octet-stream")):
+                    # raw uint8 grayscale: X-Width/X-Height name the
+                    # geometry, body is the row-major pixel buffer
+                    detections = service.analyse_raw(
+                        data,
+                        int(self.headers.get("X-Width", 0)),
+                        int(self.headers.get("X-Height", 0)),
+                        dedupe=dedupe)
+                else:
+                    detections = service.analyse_bytes(data, dedupe=dedupe)
                 self._json({
                     "detections": [
                         dict(zip(service.fields, d)) for d in detections

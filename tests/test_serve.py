@@ -105,6 +105,35 @@ def test_analyse_roundtrip_and_metrics(server_url):
     assert after["clips_per_second"] > 0
 
 
+def test_raw_grayscale_matches_png(server_url):
+    """application/octet-stream + X-Width/X-Height serves a raw uint8
+    grayscale buffer and must return the exact detections the PNG path
+    gives for the same pixels; bad geometry/size are client errors."""
+    rng = np.random.default_rng(2)
+    slide = rng.integers(0, 255, (700, 900), np.uint8)
+    _, png_payload = _post(server_url + "/analyse", _png_bytes(slide))
+
+    req = urllib.request.Request(
+        server_url + "/analyse", data=slide.tobytes(), method="POST",
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Width": "900", "X-Height": "700"})
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        raw_payload = json.loads(resp.read())
+    assert raw_payload["detections"] == png_payload["detections"]
+
+    # wrong byte count -> 400, not a server error
+    bad = urllib.request.Request(
+        server_url + "/analyse", data=slide.tobytes()[:-1], method="POST",
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Width": "900", "X-Height": "700"})
+    try:
+        urllib.request.urlopen(bad, timeout=600)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+    assert _get(server_url + "/metrics")["errors"] == 0
+
+
 def test_16bit_grayscale_matches_8bit(server_url):
     """16-bit scanner TIFF-style input must rescale, not wrap mod 256."""
     rng = np.random.default_rng(1)

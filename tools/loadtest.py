@@ -32,9 +32,22 @@ def main():
     parser.add_argument("--image", default=None,
                         help="slide file to send (default: synthetic noise "
                         "of --width x --height)")
+    parser.add_argument("--raw", action="store_true",
+                        help="send a raw uint8 grayscale buffer "
+                        "(application/octet-stream + X-Width/X-Height) "
+                        "instead of PNG — skips both sides' codec work")
     args = parser.parse_args()
 
-    if args.image:
+    headers = {}
+    if args.raw:
+        if args.image:
+            raise SystemExit("--raw uses synthetic pixels; drop --image")
+        rng = np.random.default_rng(0)
+        payload = rng.integers(
+            120, 255, (args.height, args.width), np.uint8).tobytes()
+        headers = {"Content-Type": "application/octet-stream",
+                   "X-Width": str(args.width), "X-Height": str(args.height)}
+    elif args.image:
         with open(args.image, "rb") as f:
             payload = f.read()
     else:
@@ -53,7 +66,7 @@ def main():
 
     def analyse():
         req = urllib.request.Request(args.url + "/analyse", data=payload,
-                                     method="POST")
+                                     method="POST", headers=headers)
         t0 = time.perf_counter()
         with urllib.request.urlopen(req, timeout=600) as resp:
             body = json.loads(resp.read())
