@@ -395,6 +395,28 @@ def bench_torch_cpu(batch: int, size: int, steps: int) -> float:
     return batch * steps / dt
 
 
+def _probe_device(timeout_s: int) -> bool:
+    """Run a trivial jit program in a SUBPROCESS with a hard timeout.
+
+    The single-tenant TPU tunnel can be left wedged by a killed client
+    (ops hang with no error, sometimes for many minutes); a hung device
+    call cannot be interrupted from inside this process, so probe from
+    outside before committing to the full benchmark. Returns True when
+    the device answers."""
+    import subprocess
+    import sys as _sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jax.jit(lambda a: (a @ a).sum())"
+            "(jnp.ones((256, 256)))) > 0)")
+    try:
+        out = subprocess.run([_sys.executable, "-c", code],
+                             capture_output=True, timeout=timeout_s)
+        return out.returncode == 0 and b"True" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
 
@@ -406,7 +428,22 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--refresh-baseline", action="store_true")
+    parser.add_argument("--probe-timeout", type=int, default=240,
+                        help="seconds for the pre-flight device probe "
+                        "(0 disables); a wedged single-tenant chip "
+                        "otherwise hangs the whole benchmark")
     args = parser.parse_args()
+
+    if args.probe_timeout and not _probe_device(args.probe_timeout):
+        print(json.dumps({
+            "metric": "ERROR: device unresponsive",
+            "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+            "error": "pre-flight probe timed out after {}s — the "
+                     "single-tenant TPU is likely wedged by a previously "
+                     "killed client; retry after a few minutes".format(
+                         args.probe_timeout),
+        }))
+        raise SystemExit(2)
 
     # serving throughput is host-sensitive (tiling/stitch run on the one
     # CPU core): a busy host measured ~40% lower than idle on the same
