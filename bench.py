@@ -395,26 +395,44 @@ def bench_torch_cpu(batch: int, size: int, steps: int) -> float:
     return batch * steps / dt
 
 
-def _probe_device(timeout_s: int) -> bool:
+def _probe_device(timeout_s: int):
     """Run a trivial jit program in a SUBPROCESS with a hard timeout.
 
     The single-tenant TPU tunnel can be left wedged by a killed client
     (ops hang with no error, sometimes for many minutes); a hung device
     call cannot be interrupted from inside this process, so probe from
-    outside before committing to the full benchmark. Returns True when
-    the device answers."""
+    outside before committing to the full benchmark.
+
+    Returns ``(ok, reason)``. On timeout the child gets SIGTERM and a
+    grace period before SIGKILL — killing a client hard mid-device-op is
+    exactly what wedges the tunnel, so a merely-slow chip is shut down
+    cleanly rather than converted into the failure being probed for."""
     import subprocess
     import sys as _sys
 
     code = ("import jax, jax.numpy as jnp; "
             "print(float(jax.jit(lambda a: (a @ a).sum())"
             "(jnp.ones((256, 256)))) > 0)")
+    proc = subprocess.Popen([_sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
     try:
-        out = subprocess.run([_sys.executable, "-c", code],
-                             capture_output=True, timeout=timeout_s)
-        return out.returncode == 0 and b"True" in out.stdout
+        out, err = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return False
+        proc.terminate()  # graceful first: let the client close its session
+        try:
+            proc.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+        return False, ("probe timed out after {}s — the single-tenant TPU "
+                       "is likely wedged or held by another client; retry "
+                       "after a few minutes".format(timeout_s))
+    if proc.returncode == 0 and b"True" in out:
+        return True, ""
+    return False, ("probe FAILED (rc={}) — not a timeout; device/runtime "
+                   "error: {}".format(
+                       proc.returncode,
+                       err.decode(errors="replace").strip()[-500:]))
 
 
 def main():
@@ -434,16 +452,15 @@ def main():
                         "otherwise hangs the whole benchmark")
     args = parser.parse_args()
 
-    if args.probe_timeout and not _probe_device(args.probe_timeout):
-        print(json.dumps({
-            "metric": "ERROR: device unresponsive",
-            "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
-            "error": "pre-flight probe timed out after {}s — the "
-                     "single-tenant TPU is likely wedged by a previously "
-                     "killed client; retry after a few minutes".format(
-                         args.probe_timeout),
-        }))
-        raise SystemExit(2)
+    if args.probe_timeout:
+        ok, reason = _probe_device(args.probe_timeout)
+        if not ok:
+            print(json.dumps({
+                "metric": "ERROR: device unresponsive",
+                "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+                "error": reason,
+            }))
+            raise SystemExit(2)
 
     # serving throughput is host-sensitive (tiling/stitch run on the one
     # CPU core): a busy host measured ~40% lower than idle on the same

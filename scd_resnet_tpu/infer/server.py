@@ -304,10 +304,17 @@ def make_handler(service: InferenceService):
                         .startswith("application/octet-stream")):
                     # raw uint8 grayscale: X-Width/X-Height name the
                     # geometry, body is the row-major pixel buffer
+
+                    def int_header(name):
+                        value = self.headers.get(name, "0")
+                        try:
+                            return int(value)
+                        except ValueError:
+                            raise ClientError(
+                                "bad {} header: {!r}".format(name, value))
+
                     detections = service.analyse_raw(
-                        data,
-                        int(self.headers.get("X-Width", 0)),
-                        int(self.headers.get("X-Height", 0)),
+                        data, int_header("X-Width"), int_header("X-Height"),
                         dedupe=dedupe)
                 else:
                     detections = service.analyse_bytes(data, dedupe=dedupe)

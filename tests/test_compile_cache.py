@@ -3,8 +3,18 @@
 import os
 
 import jax
+import pytest
 
 from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
+
+
+@pytest.fixture(autouse=True)
+def _restore_cache_dir():
+    """jax.config is process-global; without this, redirecting the cache
+    dir here would cold-recompile every later test in the suite."""
+    before = jax.config.jax_compilation_cache_dir
+    yield
+    jax.config.update("jax_compilation_cache_dir", before)
 
 
 def test_opt_out_env(monkeypatch):

@@ -257,13 +257,13 @@ def test_device_analyzer_matches_host_stitch():
     def wrapper(clips_nhwc):
         return jnp.asarray(fake_rows(clips_nhwc))
 
-    device_dets = make_device_analyzer(wrapper, 900, 600, bounds=None)(gray)
+    analyse = make_device_analyzer(wrapper, 900, 600, bounds=None)
+    device_dets = analyse(gray)
     assert device_dets == host_dets
 
     # pipelined multi-slide: list input, generator input (interleaves the
     # caller's per-slide host work with in-flight transfers — bench.py's
     # mode), and the sequential path must all agree
-    analyse = make_device_analyzer(wrapper, 900, 600, bounds=None)
     grays = [gray, gray + 1.0, gray]
     from_list = analyse.many(list(grays))
     from_gen = analyse.many(g for g in grays)

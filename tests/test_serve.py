@@ -121,16 +121,21 @@ def test_raw_grayscale_matches_png(server_url):
         raw_payload = json.loads(resp.read())
     assert raw_payload["detections"] == png_payload["detections"]
 
-    # wrong byte count -> 400, not a server error
-    bad = urllib.request.Request(
-        server_url + "/analyse", data=slide.tobytes()[:-1], method="POST",
-        headers={"Content-Type": "application/octet-stream",
-                 "X-Width": "900", "X-Height": "700"})
-    try:
-        urllib.request.urlopen(bad, timeout=600)
-        raise AssertionError("expected HTTP 400")
-    except urllib.error.HTTPError as err:
-        assert err.code == 400
+    # wrong byte count and a non-numeric geometry header are both 400
+    # client errors, never 500s that trip the errors metric
+    for headers in (
+        {"X-Width": "900", "X-Height": "700"},      # with truncated body
+        {"X-Width": "900px", "X-Height": "700"},    # bad header value
+    ):
+        headers["Content-Type"] = "application/octet-stream"
+        bad = urllib.request.Request(
+            server_url + "/analyse", data=slide.tobytes()[:-1],
+            method="POST", headers=headers)
+        try:
+            urllib.request.urlopen(bad, timeout=600)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as err:
+            assert err.code == 400
     assert _get(server_url + "/metrics")["errors"] == 0
 
 
