@@ -71,7 +71,11 @@ _DEFAULTS: Dict[str, Any] = {
     "residencyBudgetGB": 8.0,
     # in-memory/HBM clip storage — "float32" | "float16" | "uint8"
     "storageDtype": "float16",
-    # rematerialize activations in the backward pass (memory for FLOPs)
+    # rematerialize activations in the backward pass (memory for FLOPs).
+    # Models exposing a `remat` field (the hourglass families) checkpoint
+    # PER STACK/BRANCH — much lower peak than wrapping the whole forward,
+    # which is the fallback for models without the field. Parameter names
+    # are pinned, so checkpoints are identical with the flag on or off.
     "remat": False,
     # base PRNG seed for init/shuffling/augmentation
     "seed": 42,

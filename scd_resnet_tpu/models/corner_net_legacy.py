@@ -82,6 +82,11 @@ class CornerNetLegacy(nn.Module):
     dimensions: Sequence[int] = (128, 128, 192, 192, 192, 256)
     modules: Sequence[int] = (2, 2, 2, 2, 2, 4)
     prediction_dim: int = 256
+    # per-stack/branch activation rematerialization (jax.checkpoint):
+    # the 2-stack model's hourglasses + corner branches at 128^2 OOM
+    # v5e-1 HBM at batch 32/512^2 when every activation is stored.
+    # Scope names are pinned, so parameters are identical either way.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
@@ -89,18 +94,28 @@ class CornerNetLegacy(nn.Module):
         inter = ConvBlock(128, 7, stride=2)(x, train)
         inter = Residual(cur_dim, stride=2)(inter, train)
 
+        # static_argnums=(2,): (self, x, train) — train is a Python bool
+        hourglass_cls = (
+            nn.remat(Hourglass, static_argnums=(2,)) if self.remat
+            else Hourglass
+        )
+        branch_cls = (
+            nn.remat(_CornerBranch, static_argnums=(2,)) if self.remat
+            else _CornerBranch
+        )
         outs = []
         for stack_idx in range(self.stacks):
-            kp = Hourglass(
+            kp = hourglass_cls(
                 self.iterations, self.dimensions, self.modules,
                 pool_downsample=False,
+                name="Hourglass_{}".format(stack_idx),
             )(inter, train)
             cnv = ConvBlock(self.prediction_dim, 3)(kp, train)
 
-            tl_heat, tl_tag, tl_regr = _CornerBranch(
+            tl_heat, tl_tag, tl_regr = branch_cls(
                 self.categories, (top_pool, left_pool), name=f"tl_{stack_idx}"
             )(cnv, train)
-            br_heat, br_tag, br_regr = _CornerBranch(
+            br_heat, br_tag, br_regr = branch_cls(
                 self.categories, (bottom_pool, right_pool),
                 name=f"br_{stack_idx}",
             )(cnv, train)

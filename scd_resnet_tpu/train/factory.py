@@ -113,6 +113,12 @@ class NetworkFactory:
         if precision != "float32" and hasattr(self.profile.model_cls,
                                               "compute_dtype"):
             model_params["compute_dtype"] = precision
+        if cfg.config.get("remat") and hasattr(self.profile.model_cls,
+                                               "remat"):
+            # activation rematerialization (jax.checkpoint): params and
+            # checkpoints are identical with/without, so the flag can be
+            # flipped freely per run (e.g. legacy hourglass at batch 32)
+            model_params["remat"] = True
         self.model = self.profile.model_cls(**model_params)
         self.loss = self.profile.loss
         self.decode = self.profile.decode
@@ -214,7 +220,13 @@ class NetworkFactory:
 
     def _make_forward(self):
         """Training-mode forward, optionally rematerialized ('remat' config:
-        recompute activations in the backward pass — memory for FLOPs)."""
+        recompute activations in the backward pass — memory for FLOPs).
+
+        Models exposing a ``remat`` field already checkpoint per
+        stack/branch (much lower peak memory than wrapping the whole
+        forward, whose inputs-to-backward still materialize every
+        intermediate once); the coarse whole-forward wrap is only the
+        fallback for models without the field."""
         model = self.model
 
         def forward(p, batch_stats, xs):
@@ -223,7 +235,8 @@ class NetworkFactory:
                 xs, train=True, mutable=["batch_stats"],
             )
 
-        if bool(self.config.config.get("remat", False)):
+        if (bool(self.config.config.get("remat", False))
+                and not hasattr(type(self.model), "remat")):
             forward = jax.checkpoint(forward)
         return forward
 

@@ -156,3 +156,37 @@ def test_stack_hourglass_two_stacks():
     assert isinstance(outs, list) and len(outs) == 2
     assert outs[0]["heatmap"].shape == (1, 16, 16, 1)
     assert outs[1]["regr"].shape == (1, 16, 16, 4)
+
+
+def test_stack_hourglass_remat_is_checkpoint_compatible():
+    """remat=True (jax.checkpoint per hourglass) must produce the exact
+    same parameter tree and outputs as remat=False — the scope names are
+    pinned so the config flag can be flipped between runs/resumes — and
+    gradients must flow through the rematted stacks."""
+    x = jnp.ones((1, 64, 64, 1), jnp.float32) * 0.5
+    kwargs = dict(
+        hourglass_iterations=2, stacks=2, dimensions=(16, 24, 32),
+        modules=(1, 1, 1), prediction_dim=32,
+        terminals=(("heatmap", 1, -2.19),), pool_downsample=False,
+    )
+    plain = StackHourglass(**kwargs)
+    remat = StackHourglass(remat=True, **kwargs)
+    v_plain = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v_remat = remat.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v_plain["params"])
+            == jax.tree_util.tree_structure(v_remat["params"]))
+
+    out_plain = plain.apply(v_plain, x, train=False)
+    out_remat = remat.apply(v_remat, x, train=False)
+    assert jnp.allclose(out_plain[-1]["heatmap"], out_remat[-1]["heatmap"])
+
+    def loss(params):
+        outs, _ = remat.apply(
+            {"params": params, "batch_stats": v_remat["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return sum(jnp.abs(o["heatmap"]).sum() for o in outs)
+
+    grads = jax.grad(loss)(v_remat["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)

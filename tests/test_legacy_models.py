@@ -95,3 +95,35 @@ def test_corner_net_legacy_small():
         # kept pairs satisfy br >= tl
         assert np.all(d[:, :, 2][kept] >= d[:, :, 0][kept])
         assert np.all(d[:, :, 3][kept] >= d[:, :, 1][kept])
+
+
+def test_corner_net_legacy_remat_checkpoint_compatible():
+    """remat=True (per-stack jax.checkpoint on hourglasses AND corner
+    branches) must match remat=False exactly: same parameter tree (scope
+    names pinned) and same outputs, with finite flowing gradients."""
+    x = jnp.ones((1, 64, 64, 1), jnp.float32) * 0.3
+    kwargs = dict(categories=1, stacks=2, iterations=2,
+                  dimensions=(8, 12, 16), modules=(1, 1, 1),
+                  prediction_dim=16)
+    plain = CornerNetLegacy(**kwargs)
+    remat = CornerNetLegacy(remat=True, **kwargs)
+    v_plain = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v_remat = remat.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v_plain["params"])
+            == jax.tree_util.tree_structure(v_remat["params"]))
+    out_p = plain.apply(v_plain, x, train=False)
+    out_r = remat.apply(v_remat, x, train=False)
+    for key in out_p[-1]:
+        assert jnp.allclose(out_p[-1][key], out_r[-1][key]), key
+
+    def loss(params):
+        outs, _ = remat.apply(
+            {"params": params, "batch_stats": v_remat["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return sum(jnp.abs(o["tl_heat"]).sum() + jnp.abs(o["br_tag"]).sum()
+                   for o in outs)
+
+    grads = jax.grad(loss)(v_remat["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
