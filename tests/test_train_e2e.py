@@ -185,6 +185,21 @@ def test_size_scale_matches_training_constant():
     assert _SIZE_SCALE == 4 * SIZE_REGR_FACTOR
 
 
+def test_coarse_remat_fallback_trains(tiny_env):
+    """'remat': true with a model that has NO `remat` field (the ResNet
+    families) takes the whole-forward jax.checkpoint fallback; one
+    resident train step must run and produce a finite loss."""
+    cfg, dataset, root = tiny_env
+    cfg.update_config({"remat": True})
+    try:
+        factory = NetworkFactory(cfg, dataset=dataset)
+        assert not hasattr(type(factory.model), "remat")
+        loss, _ = factory.train_resident(np.zeros(8, np.int32))
+        assert np.isfinite(float(loss))
+    finally:
+        cfg.update_config({"remat": False})
+
+
 def test_training_loop_and_checkpoint(tiny_env):
     cfg, dataset, root = tiny_env
     factory = NetworkFactory(cfg, dataset=dataset)
