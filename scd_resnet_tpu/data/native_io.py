@@ -53,10 +53,13 @@ def get_library() -> Optional[ctypes.CDLL]:
     if not built:
         return None
     lib = ctypes.CDLL(_LIB_PATH)
-    if not hasattr(lib, "scdio_grayscale_u8"):
-        Logger.warn(":: native_io :: libscdio.so is stale (missing "
-                    "scdio_grayscale_u8) and could not be rebuilt; "
-                    "using the Python paths")
+    core = ("scdio_open", "scdio_close", "scdio_num_samples",
+            "scdio_entry_size", "scdio_read_entry", "scdio_load_dataset",
+            "scdio_gather_batch")
+    if not all(hasattr(lib, sym) for sym in core):
+        Logger.warn(":: native_io :: libscdio.so is stale (missing core "
+                    "symbols) and could not be rebuilt; using the Python "
+                    "paths")
         return None
     lib.scdio_open.restype = ctypes.c_void_p
     lib.scdio_open.argtypes = [ctypes.c_char_p]
@@ -84,12 +87,20 @@ def get_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
     ]
-    lib.scdio_grayscale_u8.restype = None
-    lib.scdio_grayscale_u8.argtypes = [
-        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-        ctypes.c_int64,
-        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-    ]
+    # newer, optional entry point: a stale .so missing it keeps its working
+    # archive/batch fast paths; only grayscale falls back to numpy
+    # (ops/image.grayscale_inference_u8 checks hasattr before calling)
+    if hasattr(lib, "scdio_grayscale_u8"):
+        lib.scdio_grayscale_u8.restype = None
+        lib.scdio_grayscale_u8.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ]
+    else:
+        Logger.warn(":: native_io :: libscdio.so is stale (missing "
+                    "scdio_grayscale_u8) and could not be rebuilt; "
+                    "grayscale uses the numpy path")
     _lib = lib
     return _lib
 

@@ -62,7 +62,7 @@ def grayscale_inference_u8(rgb: np.ndarray) -> np.ndarray:
     rgb = np.asarray(rgb)
     if rgb.dtype == np.uint8 and rgb.ndim >= 2 and rgb.shape[-1] == 3:
         lib = _native_lib()
-        if lib is not None:
+        if lib is not None and hasattr(lib, "scdio_grayscale_u8"):
             src = np.ascontiguousarray(rgb)
             out = np.empty(rgb.shape[:-1], np.uint8)
             lib.scdio_grayscale_u8(src.reshape(-1, 3), out.size,

@@ -19,6 +19,31 @@ def test_native_library_builds():
     assert get_library() is not None, "native libscdio.so failed to build"
 
 
+def test_makefile_forces_fp_contract_off():
+    """-ffp-contract=off is what keeps scdio_grayscale_u8 bit-exact to
+    numpy's double arithmetic; an inherited CXXFLAGS must not drop it, so
+    the Makefile must append it unconditionally (+=), not only default it
+    in the overridable ?= line."""
+    import os
+    import re
+
+    from scd_resnet_tpu.data import native_io
+
+    makefile = os.path.join(native_io._NATIVE_DIR, "Makefile")
+    with open(makefile) as fh:
+        text = fh.read()
+    assert re.search(r"^override CXXFLAGS\s*\+=.*-ffp-contract=off", text,
+                     re.M), (
+        "Makefile must force -ffp-contract=off via `override CXXFLAGS +=` "
+        "(bit-exact grayscale depends on it even under an inherited or "
+        "command-line CXXFLAGS)"
+    )
+    # flags-only changes must rebuild auto-built libraries
+    assert re.search(r"^libscdio\.so:.*\bMakefile\b", text, re.M), (
+        "libscdio.so rule must list the Makefile as a prerequisite"
+    )
+
+
 def test_native_matches_python_reader(archive):
     py = read_archive(archive, prefer_native=False)
     nat = read_archive_native(archive)
