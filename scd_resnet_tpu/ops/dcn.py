@@ -5,11 +5,27 @@ TPU-native replacement for the reference's vendored DCNv2 extension
 kernels, dcn.roipool kernels, the `_DCNv2` autograd Functions in
 dcn_v2.py:14-93 and the pooling Functions at 194-344). On TPU the whole
 thing collapses into a bilinear-gather "deformable im2col" followed by ONE
-large matmul — the gather vectorizes on the VPU, the matmul lands on the
-MXU, and autodiff derives the backward (the reference needed 4 hand-written
-CUDA gradient kernels). SURVEY.md §2.9 documents this C++→XLA mapping; a
-Pallas kernel variant of the gather exists in ops/pallas_kernels.py for
-when the XLA fusion is not enough.
+large matmul, and autodiff derives the backward (the reference needed 4
+hand-written CUDA gradient kernels). SURVEY.md §2.9 documents this C++→XLA
+mapping.
+
+Three interchangeable im2col lowerings (``deform_conv2d(method=...)``):
+
+- ``"gather"`` — ``jnp.take_along_axis`` per corner; XLA's gather lowering
+  is memory-bound on TPU (measured 5.8x a plain conv at 64²/128ch);
+- ``"onehot"`` — the gather rewritten as a sparse bilinear-weight matrix
+  times the flattened feature map, so the irregular access lands on the
+  MXU as ONE dense matmul (W[n, hw] has <=4 nonzeros per row — the corner
+  lerp weights). O(N*HW*C) FLOPs instead of O(N*C) loads: brute force,
+  but the MXU is fast enough that this wins wherever the one-hot matrix
+  fits (the production S/32 map: HW=256);
+- ``"pallas"`` — the fused Pallas kernel in ops/pallas_kernels.py
+  (dcn_gather_pallas): per-batch-element feature map resident in VMEM,
+  one-hot tile built in-register, matmul on the MXU, im2col never
+  round-trips HBM. Custom VJP: Pallas forward, XLA (onehot) backward.
+
+``method="auto"`` picks by one-hot matrix size; see _pick_method.
+docs/PERFORMANCE.md records the measured comparison.
 
 Semantics (bit-matched to dcn.im2col.cpp / dcn.roipool.cpp):
 
@@ -26,10 +42,28 @@ Layouts are NHWC; weights are HWIO.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# one-hot matrix budget for method="auto": beyond this the (B, N, HW)
+# bilinear-weight matrix (and its N*HW*C matmul FLOPs) stop paying for
+# themselves against the gather's N*C loads
+_ONEHOT_BYTES_LIMIT = 128 * 1024 * 1024
+
+
+def _pick_method(b: int, n: int, h: int, w: int) -> str:
+    """Choose the im2col lowering (see module docstring). The
+    ``SCD_DCN_METHOD`` env var (gather|onehot|pallas) overrides — the
+    ablation switch for benchmarks and tests."""
+    forced = os.environ.get("SCD_DCN_METHOD")
+    if forced:
+        return forced
+    if b * n * h * w * 4 <= _ONEHOT_BYTES_LIMIT:
+        return "onehot"
+    return "gather"
 
 
 def _bilinear_gather(x, py, px):
@@ -63,8 +97,55 @@ def _bilinear_gather(x, py, px):
     return out * inside[:, :, None]
 
 
+def bilinear_onehot_matrix(py, px, h: int, w: int):
+    """The sparse bilinear-sampling matrix, densified: W[..., n, hw] such
+    that ``sample = W @ x.reshape(h*w, c)`` reproduces
+    :func:`_bilinear_gather` exactly (same per-corner validity and outer
+    (-1, size) cutoff).
+
+    Each row holds at most the 4 corner lerp weights; building it is a few
+    VPU compares over an (N, HW) grid and the sample itself becomes a dense
+    MXU matmul. Differentiable in (py, px) through the lerp weights — the
+    same gradient the reference's dmcn_get_coordinate_weight CUDA kernel
+    hand-computes (dcn.im2col.cuda.cu:88-123).
+    """
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ly = py - y0
+    lx = px - x0
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+    inside = (py > -1) & (py < h) & (px > -1) & (px < w)
+    hw_ids = jnp.arange(h * w, dtype=jnp.int32)
+
+    def corner(yi, xi, weight):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & inside
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        idx = yi_c * w + xi_c
+        # invalid corners scatter weight 0 at a clipped (harmless) slot
+        return jnp.where(valid, weight, 0.0)[..., None] * (
+            idx[..., None] == hw_ids
+        )
+
+    return (corner(y0, x0, hy * hx) + corner(y0, x0 + 1, hy * lx)
+            + corner(y0 + 1, x0, ly * hx) + corner(y0 + 1, x0 + 1, ly * lx))
+
+
+def _bilinear_gather_onehot(x, py, px):
+    """:func:`_bilinear_gather` as one dense matmul (see module docstring)."""
+    b, h, w, c = x.shape
+    weight = bilinear_onehot_matrix(py, px, h, w)  # (B, N, HW)
+    return jax.lax.dot_general(
+        weight, x.reshape(b, h * w, c),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def deform_conv2d(x, offset, mask, weights, bias: Optional[jnp.ndarray] = None,
-                  stride: int = 1, padding: int = 1, dilation: int = 1):
+                  stride: int = 1, padding: int = 1, dilation: int = 1,
+                  method: str = "auto"):
     """Modulated deformable convolution (DCNv2 forward,
     dcn.im2col.cpp:308-394 + dcn.cpp dispatch).
 
@@ -74,6 +155,8 @@ def deform_conv2d(x, offset, mask, weights, bias: Optional[jnp.ndarray] = None,
       mask: (B, Ho, Wo, K) modulation scalars (already sigmoided).
       weights: (kh, kw, Cin, Cout).
       bias: optional (Cout,).
+      method: im2col lowering — "auto" | "gather" | "onehot" | "pallas"
+        (module docstring); all are numerically interchangeable.
 
     Returns (B, Ho, Wo, Cout).
     """
@@ -96,7 +179,17 @@ def deform_conv2d(x, offset, mask, weights, bias: Optional[jnp.ndarray] = None,
           + offset[..., 1])
 
     n = ho * wo * k
-    sampled = _bilinear_gather(x, py.reshape(b, n), px.reshape(b, n))
+    if method == "auto":
+        method = _pick_method(b, n, h, w)
+    if method == "onehot":
+        sampled = _bilinear_gather_onehot(
+            x, py.reshape(b, n), px.reshape(b, n))
+    elif method == "pallas":
+        from scd_resnet_tpu.ops.pallas_kernels import dcn_gather_pallas
+
+        sampled = dcn_gather_pallas(x, py.reshape(b, n), px.reshape(b, n))
+    else:
+        sampled = _bilinear_gather(x, py.reshape(b, n), px.reshape(b, n))
     sampled = sampled.reshape(b, ho, wo, k, cin)
     sampled = sampled * mask[..., None]
 

@@ -9,7 +9,14 @@ from primitives:
   version's (K, H, W) intermediate);
 - ``corner_pool_pallas``: directional running-max over H or W as an
   in-VMEM ``fori_loop`` carry (one row/column vector), avoiding the
-  log-depth associative-scan lowering.
+  log-depth associative-scan lowering;
+- ``dcn_gather_pallas``: the deformable bilinear gather (DCNv2 im2col,
+  the counterpart of the reference's hand-scheduled CUDA kernels at
+  dcn.im2col.cuda.cu:125-256) — per batch element the feature map stays
+  resident in VMEM, each sample tile builds its sparse bilinear-weight
+  matrix in-register and contracts it against the feature map on the MXU,
+  so the irregular gather never issues scalar loads and the one-hot
+  matrix never round-trips HBM. Custom VJP: XLA (onehot) backward.
 
 Each kernel is numerically exact against its XLA counterpart (tested in
 interpret mode on CPU); ``ops.gaussian.render_heatmap`` /
@@ -94,6 +101,122 @@ def render_heatmap_pallas(locs, valid, size: int, iou_threshold: float = 0.5,
         jnp.asarray(locs, jnp.float32),
         jnp.asarray(valid, jnp.float32)[:, :, None],
     )
+
+
+def _dcn_gather_kernel(py_ref, px_ref, x_ref, out_ref, *, h: int, w: int):
+    """One (batch element, sample tile): build the (TILE_N, HW) bilinear
+    weight matrix from the sample positions and contract it with the
+    VMEM-resident (HW, C) feature map on the MXU.
+
+    Semantics identical to ops.dcn._bilinear_gather (per-corner zero
+    validity + the outer (-1, size) cutoff)."""
+    py = py_ref[0]  # (TILE_N, 1) — column layout, no in-kernel transpose
+    px = px_ref[0]
+    tile_n = py.shape[0]
+    hw = h * w
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ly = py - y0
+    lx = px - x0
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+    inside = (py > -1) & (py < h) & (px > -1) & (px < w)
+    hw_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, hw), 1)
+
+    def corner(yi, xi, weight):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & inside
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        idx = yi_c * w + xi_c  # (TILE_N, 1)
+        return jnp.where(valid, weight, 0.0) * (idx == hw_ids)
+
+    wt = corner(y0, x0, hy * hx)
+    wt += corner(y0, x0 + 1, hy * lx)
+    wt += corner(y0 + 1, x0, ly * hx)
+    wt += corner(y0 + 1, x0 + 1, ly * lx)
+
+    out_ref[0] = jnp.dot(
+        wt, x_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _dcn_gather_pallas_fwd_impl(x, py, px, interpret):
+    b, h, w, c = x.shape
+    n = py.shape[1]
+    hw = h * w
+
+    # the whole per-image feature map must sit in VMEM next to the weight
+    # tile; beyond this the one-hot contraction stops being the right tool
+    # anyway (use the gather path)
+    if hw * c * 4 > 8 * 1024 * 1024:
+        raise ValueError(
+            "dcn_gather_pallas: feature map {}x{}x{} exceeds the VMEM "
+            "budget; use method='gather'".format(h, w, c)
+        )
+    budget = 6 * 1024 * 1024 // (hw * 4)
+    tile_n = max(8, min(256, (budget // 8) * 8))
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        fill = jnp.full((b, n_pad - n), -10.0, py.dtype)
+        py = jnp.concatenate([py, fill], axis=1)
+        px = jnp.concatenate([px, fill], axis=1)
+
+    kernel = functools.partial(_dcn_gather_kernel, h=h, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), x.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(py, jnp.float32)[..., None],
+        jnp.asarray(px, jnp.float32)[..., None],
+        x.reshape(b, hw, c),
+    )
+    return out[:, :n] if n_pad != n else out
+
+
+@jax.custom_vjp
+def dcn_gather_pallas(x, py, px):
+    """Deformable bilinear gather, (B, H, W, C) sampled at (B, N) float
+    positions -> (B, N, C); drop-in for ops.dcn._bilinear_gather.
+
+    Forward is the fused Pallas kernel; backward re-derives through the
+    XLA onehot formulation (same lerp-weight gradients the reference
+    hand-writes in dcn.im2col.cuda.cu:88-123). Interpret mode is selected
+    automatically off-TPU so the kernel stays testable on CPU."""
+    return _dcn_gather_pallas_fwd_impl(
+        x, py, px, interpret=jax.default_backend() != "tpu")
+
+
+def _dcn_gather_pallas_fwd(x, py, px):
+    return dcn_gather_pallas(x, py, px), (x, py, px)
+
+
+def _dcn_gather_pallas_bwd(residuals, g):
+    from scd_resnet_tpu.ops.dcn import _bilinear_gather, \
+        _bilinear_gather_onehot, _pick_method
+
+    x, py, px = residuals
+    b, h, w, _ = x.shape
+    ref = (_bilinear_gather_onehot
+           if _pick_method(b, py.shape[1], h, w) == "onehot"
+           else _bilinear_gather)
+    _, vjp = jax.vjp(ref, x, py, px)
+    return vjp(g.astype(jnp.float32))
+
+
+dcn_gather_pallas.defvjp(_dcn_gather_pallas_fwd, _dcn_gather_pallas_bwd)
 
 
 def _pool_kernel(x_ref, out_ref, *, axis: int, reverse: bool):

@@ -113,3 +113,45 @@ def test_dcn_pooling_module_runs():
         pooled_size=4, spatial_scale=0.25, no_trans=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+
+def test_im2col_methods_agree_on_awkward_geometry():
+    """gather / onehot / pallas im2col lowerings are interchangeable —
+    identical forward and gradients on a geometry that exercises tile
+    padding (N not a multiple of the Pallas sample tile), stride, dilation
+    and far out-of-bounds offsets."""
+    rng = np.random.default_rng(7)
+    x = jnp.array(rng.standard_normal((2, 9, 11, 5)), jnp.float32)
+    w = jnp.array(rng.standard_normal((3, 3, 5, 4)) * 0.1, jnp.float32)
+    ho = (9 + 2 * 2 - 2 * 2 - 1) // 2 + 1
+    wo = (11 + 2 * 2 - 2 * 2 - 1) // 2 + 1
+    off = jnp.array(rng.standard_normal((2, ho, wo, 9, 2)) * 6.0, jnp.float32)
+    mask = jnp.array(rng.uniform(0, 1, (2, ho, wo, 9)), jnp.float32)
+    kw = dict(stride=2, padding=2, dilation=2)
+
+    outs, grads = {}, {}
+    for method in ("gather", "onehot", "pallas"):
+        outs[method] = deform_conv2d(x, off, mask, w, method=method, **kw)
+
+        def f(x, off, mask, w, method=method):
+            return jnp.sum(
+                deform_conv2d(x, off, mask, w, method=method, **kw) ** 2)
+
+        grads[method] = jax.grad(f, argnums=(0, 1, 2, 3))(x, off, mask, w)
+
+    for method in ("onehot", "pallas"):
+        np.testing.assert_allclose(outs[method], outs["gather"],
+                                   rtol=1e-5, atol=1e-5)
+        for got, want in zip(grads[method], grads["gather"]):
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_im2col_method_env_override(monkeypatch):
+    """SCD_DCN_METHOD forces the lowering (the benchmark ablation switch)."""
+    from scd_resnet_tpu.ops import dcn
+
+    monkeypatch.setenv("SCD_DCN_METHOD", "gather")
+    assert dcn._pick_method(1, 10, 4, 4) == "gather"
+    monkeypatch.delenv("SCD_DCN_METHOD")
+    assert dcn._pick_method(1, 10, 4, 4) == "onehot"  # tiny: under budget
+    assert dcn._pick_method(64, 200000, 128, 128) == "gather"  # over budget

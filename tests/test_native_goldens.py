@@ -82,18 +82,20 @@ def _dcn_inputs(g):
     return x, off, mask, w, bias, dict(stride=sh, padding=p_h, dilation=dh)
 
 
-def test_dcn_forward_matches_reference_native(g):
+@pytest.mark.parametrize("method", ["gather", "onehot", "pallas"])
+def test_dcn_forward_matches_reference_native(g, method):
     x, off, mask, w, bias, kw_ = _dcn_inputs(g)
-    got = _nchw(deform_conv2d(x, off, mask, w, bias, **kw_))
+    got = _nchw(deform_conv2d(x, off, mask, w, bias, method=method, **kw_))
     np.testing.assert_allclose(got, g["dcn_out"], rtol=2e-5, atol=2e-5)
 
 
-def test_dcn_backward_matches_reference_native(g):
+@pytest.mark.parametrize("method", ["gather", "onehot", "pallas"])
+def test_dcn_backward_matches_reference_native(g, method):
     x, off, mask, w, bias, kw_ = _dcn_inputs(g)
     ct = _nhwc(g["dcn_grad_out"])
 
     def fwd(x, off, mask, w, bias):
-        return deform_conv2d(x, off, mask, w, bias, **kw_)
+        return deform_conv2d(x, off, mask, w, bias, method=method, **kw_)
 
     _, vjp = jax.vjp(fwd, x, off, mask, w, bias)
     gx, goff, gmask, gw, gbias = vjp(ct)
