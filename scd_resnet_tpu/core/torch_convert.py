@@ -6,6 +6,8 @@ module naming of models/backbones/residuals.py + models/centerNetOffset.py:
 
     [module.]preprocess.{0,1}.*                 stem conv + BN
     [module.]layer{1..4}.{i}.conv1/bn1/conv2/bn2[/downsample.{0,1}].*
+        (BasicBlock depths 10-34; Bottleneck depths 50-152 add conv3/bn3 —
+        residuals.py:122-165)
     [module.]deconvolutionLayers.{3j,3j+1}.*    deconv + BN triplets
     [module.]heatmap.{0,2}.* / regr.{0,2}.* / offset.{0,2}.*   heads
 
@@ -49,7 +51,9 @@ def convert_center_net_residual(state_dict: Dict[str, Any], num_layers: int = 10
       state_dict: torch state_dict (tensors or numpy arrays); a leading
         ``module.`` prefix (DataParallel/DDP wrapping, networkFactory.py:134)
         is stripped.
-      num_layers: ResNet depth (BasicBlock depths only: 10-34).
+      num_layers: ResNet depth (any RESNET_SPEC depth: BasicBlock 10-34 or
+        Bottleneck 50/101/152 — the same table loadPretrained spans,
+        networkFactory.py:278-288).
 
     Returns:
       (params, batch_stats) nested dicts loadable into
@@ -64,10 +68,6 @@ def convert_center_net_residual(state_dict: Dict[str, Any], num_layers: int = 10
         sd[key] = np.asarray(value)
 
     block, stages = RESNET_SPEC[num_layers]
-    if block.expansion != 1:
-        raise NotImplementedError(
-            "converter currently supports BasicBlock depths (10-34)"
-        )
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -94,22 +94,23 @@ def convert_center_net_residual(state_dict: Dict[str, Any], num_layers: int = 10
     put(params, (root, "Conv_0", "kernel"), _conv(sd["preprocess.0.weight"]))
     bn("preprocess.1", ("BatchNorm_0",))
 
-    # stages
+    # stages; flax auto-numbers submodules in call order, so the block's
+    # own convs come first and the projection shortcut (when present) is
+    # the next Conv/BatchNorm index after them
+    n_convs = 3 if block.expansion != 1 else 2
     blk = 0
     for stage_idx, repeats in enumerate(stages):
         for i in range(repeats):
             t = f"layer{stage_idx + 1}.{i}"
-            f = f"BasicBlock_{blk}"
-            put(params, (root, f, "Conv_0", "kernel"),
-                _conv(sd[t + ".conv1.weight"]))
-            bn(t + ".bn1", (f, "BatchNorm_0"))
-            put(params, (root, f, "Conv_1", "kernel"),
-                _conv(sd[t + ".conv2.weight"]))
-            bn(t + ".bn2", (f, "BatchNorm_1"))
+            f = f"{block.__name__}_{blk}"
+            for j in range(n_convs):
+                put(params, (root, f, f"Conv_{j}", "kernel"),
+                    _conv(sd[t + f".conv{j + 1}.weight"]))
+                bn(t + f".bn{j + 1}", (f, f"BatchNorm_{j}"))
             if t + ".downsample.0.weight" in sd:
-                put(params, (root, f, "Conv_2", "kernel"),
+                put(params, (root, f, f"Conv_{n_convs}", "kernel"),
                     _conv(sd[t + ".downsample.0.weight"]))
-                bn(t + ".downsample.1", (f, "BatchNorm_2"))
+                bn(t + ".downsample.1", (f, f"BatchNorm_{n_convs}"))
             blk += 1
 
     # deconvs: Sequential indices 0,1,2 / 3,4,5 / 6,7,8 = deconv, BN, ReLU

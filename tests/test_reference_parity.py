@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 
-@pytest.mark.parametrize("depth", [10, 18])
+@pytest.mark.parametrize("depth", [10, 18, 50])
 def test_reference_forward_and_decode_parity(depth, tmp_path):
     if not os.path.isdir(os.path.join(REFERENCE, "models")):
         pytest.skip("reference checkout not available")
@@ -71,8 +71,10 @@ def test_reference_forward_and_decode_parity(depth, tmp_path):
         np.testing.assert_array_equal(indices[b, :n], z["dec_inds"][b, :n])
         np.testing.assert_array_equal(ys[b, :n], z["dec_y"][b, :n])
         np.testing.assert_array_equal(xs[b, :n], z["dec_x"][b, :n])
+        # 5e-5: f32 accumulation spread through the deepest (Res50) chain
+        # (measured 1.9e-5 max) — indices/coords above are exact-equal
         np.testing.assert_allclose(scores[b, :n], z["dec_scores"][b, :n],
-                                   atol=1e-5)
+                                   atol=5e-5)
         np.testing.assert_allclose(offset[b, :n], z["dec_offset"][b, :n],
                                    atol=5e-4)
         np.testing.assert_allclose(regression[b, :n], z["dec_regr"][b, :n],
