@@ -8,19 +8,48 @@ compile options, platform and jaxlib version), so enabling it is
 semantics-free; validated over the axon tunnel: an identical program's
 second-process compile went 11.0 s -> 0.7 s.
 
+The cache directory is additionally keyed by a HOST FINGERPRINT (the CPU
+feature flags): XLA:CPU stores ahead-of-time compiled machine code whose
+target features follow the *compiling* machine, and loading such an AOT
+result on a host missing those features is a latent SIGILL (XLA's
+cpu_aot_loader warns exactly this — observed across the round-3 dryrun,
+MULTICHIP_r03). Same-host reuse, which is all the latency win, is
+unaffected; a foreign-featured machine simply gets its own subdirectory.
+
 Called by train.py / test.py / serve.py / trace.py / preprocess.py /
 bench.py before the first jit. Opt out with SCD_NO_COMPILE_CACHE=1;
 redirect with JAX_COMPILATION_CACHE_DIR (the standard JAX env var, which
 jax reads on its own — this helper only supplies a default when neither
-override is present).
+override is present; the fingerprint subdir is applied either way).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from typing import Optional
 
 _DEFAULT = os.path.expanduser("~/.cache/scd_resnet_tpu/xla")
+
+
+def host_fingerprint(cpuinfo_text: Optional[str] = None) -> str:
+    """A short stable id for this machine's instruction-set features.
+
+    Hash of the sorted /proc/cpuinfo feature flags (order varies between
+    kernels; the set is what AOT code validity depends on). Falls back to
+    the machine architecture when cpuinfo is unavailable (non-Linux)."""
+    if cpuinfo_text is None:
+        try:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo_text = f.read()
+        except OSError:
+            return platform.machine() or "unknown"
+    for line in cpuinfo_text.splitlines():
+        if line.lower().startswith(("flags", "features")):
+            flags = " ".join(sorted(line.split(":", 1)[1].split()))
+            return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    return platform.machine() or "unknown"
 
 
 def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
@@ -30,8 +59,9 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
         return None
     import jax
 
-    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    base = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or _DEFAULT)
+    path = os.path.join(base, host_fingerprint())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -35,3 +35,9 @@ def test_dryrun_multichip_driver_import_path():
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip OK" in proc.stdout
     assert "driver-path ok" in proc.stdout
+    # the round-3 artifact was polluted with cross-machine XLA:CPU AOT
+    # loads ("could lead to ... SIGILL"); the host-keyed cache must keep
+    # the dryrun clean, and the subprocess guard must not have tripped
+    import __graft_entry__ as ge
+
+    assert ge._find_aot_mismatch(proc.stderr) is None, proc.stderr[-2000:]
