@@ -52,43 +52,86 @@ def _normalize(clip: np.ndarray) -> np.ndarray:
     return (clip - mean) / math.sqrt(var)
 
 
-def tile_slide(gray: np.ndarray) -> Tuple[np.ndarray, int, int, int, int]:
-    """Pad and cut a grayscale slide into overlapping clips.
-
-    Returns ``(clips (N, S, S), clip_h, clip_v, pad_lr, pad_tb)`` with clips
-    ordered x-major then y (the reference's loop order, test.py:86-90)."""
-    height, width = gray.shape
+def _cut_normalized(padded: np.ndarray, n_cols: int, clip_v: int
+                    ) -> np.ndarray:
+    """Cut a padded region into per-clip-standardized overlapping clips,
+    x-major then y (the reference's loop order, test.py:86-90)."""
     stride = INPUT_SIZE - 2 * PADDING_SIZE
-
-    clip_h = math.ceil((width - 2 * PADDING_SIZE) / stride)
-    clip_v = math.ceil((height - 2 * PADDING_SIZE) / stride)
-    resize_w = stride * clip_h + 2 * PADDING_SIZE
-    resize_h = stride * clip_v + 2 * PADDING_SIZE
-    if (resize_w - width) % 2 != 0:
-        resize_w += 1
-    if (resize_h - height) % 2 != 0:
-        resize_h += 1
-    pad_lr = (resize_w - width) // 2
-    pad_tb = (resize_h - height) // 2
-
-    padded = pad_reflect_hybrid(gray, pad_lr, pad_tb)
-
-    clips = np.empty((clip_h * clip_v, INPUT_SIZE, INPUT_SIZE), np.float32)
+    clips = np.empty((n_cols * clip_v, INPUT_SIZE, INPUT_SIZE), np.float32)
     i = 0
-    for x in range(clip_h):
+    for x in range(n_cols):
         for y in range(clip_v):
             clips[i] = _normalize(
                 padded[y * stride : y * stride + INPUT_SIZE,
                        x * stride : x * stride + INPUT_SIZE]
             )
             i += 1
-    return clips, clip_h, clip_v, pad_lr, pad_tb
+    return clips
+
+
+def tile_slide(gray: np.ndarray) -> Tuple[np.ndarray, int, int, int, int]:
+    """Pad and cut a grayscale slide into overlapping clips.
+
+    Returns ``(clips (N, S, S), clip_h, clip_v, pad_lr, pad_tb)`` with clips
+    ordered x-major then y (the reference's loop order, test.py:86-90)."""
+    height, width = gray.shape
+    clip_h, clip_v, pad_lr, pad_tb = slide_geometry(width, height)
+    padded = pad_reflect_hybrid(gray, pad_lr, pad_tb)
+    return (_cut_normalized(padded, clip_h, clip_v),
+            clip_h, clip_v, pad_lr, pad_tb)
+
+
+def band_plan(clip_h: int, clip_v: int, max_resident_clips: int
+              ) -> List[Tuple[int, int]]:
+    """Split the clip grid into ``(first_column, n_columns)`` column bands
+    of at most ``max_resident_clips`` clips each (at least one column —
+    one column of clips is the floor of residency).
+
+    Clips stack x-major then y, so consecutive COLUMN bands concatenate
+    into exactly the monolithic clip order: banded and monolithic analysis
+    produce identical detection sequences (and therefore identical greedy
+    dedupe results)."""
+    cols = max(1, max_resident_clips // clip_v)
+    return [(x0, min(cols, clip_h - x0)) for x0 in range(0, clip_h, cols)]
+
+
+def extract_padded_band(gray: np.ndarray, x0_clip: int, n_cols: int,
+                        pad_lr: int, pad_tb: int) -> np.ndarray:
+    """The pixels of ``pad_reflect_hybrid(gray, pad_lr, pad_tb)`` covering
+    clip columns ``[x0_clip, x0_clip + n_cols)`` — computed from only that
+    band's source columns, never materializing the full padded slide.
+
+    ``gray`` may be any 2-D array-like including a ``np.memmap``: the one
+    slice below is the only read, so a slide larger than host memory
+    streams from disk band by band (SURVEY §5's giant-slide scaling path).
+    Boundary bands rebuild the x-symmetric padding from the slide's own
+    edge columns (identical pixels: the symmetric pad width is < one clip
+    stride, so the band always contains its own reflection source)."""
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    width = gray.shape[1]
+    px0 = x0_clip * stride  # band bounds in padded-x coordinates
+    px1 = px0 + (n_cols - 1) * stride + INPUT_SIZE
+    gx0 = max(px0 - pad_lr, 0)
+    gx1 = min(px1 - pad_lr, width)
+    band = np.asarray(gray[:, gx0:gx1])
+    # pad order matches pad_reflect_hybrid: reflect101 on y first, then
+    # symmetric on x (at the slide edges only; interior band boundaries
+    # are real pixels)
+    band = np.pad(band, ((pad_tb, pad_tb), (0, 0)), mode="reflect")
+    left = gx0 - (px0 - pad_lr)
+    right = (px1 - pad_lr) - gx1
+    if left or right:
+        band = np.pad(band, ((0, 0), (max(left, 0), max(right, 0))),
+                      mode="symmetric")
+    return band
 
 
 def analyse_images(model: Callable, full_path: str,
                    dedupe_radius: Optional[float] = None,
                    batch_size: int = BATCH_SIZE,
-                   bounds="slide") -> List[List[float]]:
+                   bounds="slide",
+                   max_resident_clips: Optional[int] = None
+                   ) -> List[List[float]]:
     """Detections ``[slide_x, slide_y, Rhr]`` for one slide image.
 
     ``model`` maps a (B, 512, 512, 1) float batch to the (10, B, K) stacked
@@ -104,7 +147,8 @@ def analyse_images(model: Callable, full_path: str,
     else:
         gray = grayscale_inference(coerce_gray_u8(color[..., :3]))
     return analyse_grayscale(model, gray, dedupe_radius, batch_size,
-                             bounds=bounds)
+                             bounds=bounds,
+                             max_resident_clips=max_resident_clips)
 
 
 def coerce_gray_u8(gray: np.ndarray) -> np.ndarray:
@@ -348,11 +392,30 @@ def stitch_any(rows: np.ndarray, contract: str, clip_h: int, clip_v: int,
     return fn(rows, clip_h, clip_v, pad_lr, pad_tb, bounds)
 
 
+def _batched_rows(model: Callable, clips: np.ndarray, batch_size: int,
+                  batch_axis: int) -> List[np.ndarray]:
+    """Run clips through the fixed-batch model (padding the last partial
+    batch to the compiled shape), returning per-batch valid rows."""
+    rows = []
+    for start in range(0, len(clips), batch_size):
+        batch = clips[start : start + batch_size]
+        valid = len(batch)
+        if valid < batch_size:  # pad to the compiled shape
+            batch = np.concatenate(
+                [batch, np.zeros((batch_size - valid, INPUT_SIZE, INPUT_SIZE),
+                                 np.float32)]
+            )
+        out = np.asarray(model(batch[..., None]))
+        rows.append(out[:valid] if batch_axis == 0 else out[:, :valid])
+    return rows
+
+
 def analyse_grayscale(model: Callable, gray: np.ndarray,
                       dedupe_radius: Optional[float] = None,
                       batch_size: int = BATCH_SIZE,
                       bounds: Optional[Tuple[int, int]] = None,
-                      contract: Optional[str] = None
+                      contract: Optional[str] = None,
+                      max_resident_clips: Optional[int] = None
                       ) -> List[List[float]]:
     """``batch_size`` must match the model's compiled batch (jax.export
     bundles are shape-specialized; test.py passes the traced shape).
@@ -364,10 +427,18 @@ def analyse_grayscale(model: Callable, gray: np.ndarray,
 
     ``contract``: wrapper-family output contract (CONTRACT_FIELDS);
     default reads ``model.contract`` (set by load_traced/load_wrapper),
-    falling back to centerOffset."""
-    clips, clip_h, clip_v, pad_lr, pad_tb = tile_slide(gray)
+    falling back to centerOffset.
+
+    ``max_resident_clips``: streaming giant-slide mode — the clip stack is
+    materialized one column band at a time (at most this many clips, floor
+    one column), so host memory stays bounded by the band instead of the
+    slide; pass ``gray`` as a ``np.memmap`` and the slide itself never
+    fully loads either. Detections are identical to the monolithic path
+    (band boundaries respect the x-major clip order)."""
+    height, width = gray.shape
+    clip_h, clip_v, pad_lr, pad_tb = slide_geometry(width, height)
     if bounds == "slide":
-        bounds = (gray.shape[1], gray.shape[0])
+        bounds = (width, height)
     if contract is None:
         contract = getattr(model, "contract", "centerOffset")
 
@@ -376,17 +447,15 @@ def analyse_grayscale(model: Callable, gray: np.ndarray,
     batch_axis = 0 if contract == "cornerLegacy" else 1
 
     all_rows = []
-    n = len(clips)
-    for start in range(0, n, batch_size):
-        batch = clips[start : start + batch_size]
-        valid = len(batch)
-        if valid < batch_size:  # pad to the compiled shape
-            batch = np.concatenate(
-                [batch, np.zeros((batch_size - valid, INPUT_SIZE, INPUT_SIZE),
-                                 np.float32)]
-            )
-        out = np.asarray(model(batch[..., None]))
-        all_rows.append(out[:valid] if batch_axis == 0 else out[:, :valid])
+    if max_resident_clips and clip_h * clip_v > max_resident_clips:
+        for x0, n_cols in band_plan(clip_h, clip_v, max_resident_clips):
+            band = extract_padded_band(gray, x0, n_cols, pad_lr, pad_tb)
+            clips = _cut_normalized(band, n_cols, clip_v)
+            all_rows.extend(_batched_rows(model, clips, batch_size,
+                                          batch_axis))
+    else:
+        clips, _, _, _, _ = tile_slide(gray)
+        all_rows.extend(_batched_rows(model, clips, batch_size, batch_axis))
 
     rows = np.concatenate(all_rows, axis=batch_axis)
     detections = stitch_any(rows, contract, clip_h, clip_v, pad_lr, pad_tb,
@@ -443,7 +512,8 @@ def make_device_tiler(width: int, height: int) -> Callable:
 
 def make_device_analyzer(wrapper: Callable, width: int, height: int,
                          dedupe_radius: Optional[float] = None,
-                         mesh=None, bounds="slide") -> Callable:
+                         mesh=None, bounds="slide",
+                         max_resident_clips: Optional[int] = None) -> Callable:
     """Slide analyzer with the tiling fused ON DEVICE.
 
     The host-tiled path ships every overlapping 512x512 clip as float32 —
@@ -464,25 +534,43 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
     slide run data-parallel across every chip. No reference counterpart
     (test.py serves on a single device).
 
+    ``max_resident_clips``: streaming giant-slide mode (SURVEY §5's "if a
+    slide exceeds host memory, by streaming tiles"). The slide is
+    processed in column bands of at most this many clips: each band's
+    pixels are extracted host-side (``gray`` may be a ``np.memmap`` — only
+    band columns are ever read), uploaded, tiled/normalized/decoded on
+    device, and at most two bands are in flight at a time, so host AND
+    device residency are bounded by the band instead of the slide.
+    Detections are identical to the monolithic analyzer (band boundaries
+    respect the x-major clip order). Mutually exclusive with ``mesh``.
+
     Returns ``analyse(gray) -> [[x, y, Rhr], ...]``.
     """
     import jax
     import jax.numpy as jnp
 
     clip_h, clip_v, pad_lr, pad_tb = slide_geometry(width, height)
-    tiler = make_device_tiler(width, height)
+    streaming = bool(max_resident_clips
+                     and clip_h * clip_v > max_resident_clips)
+    if streaming and mesh is not None:
+        raise ValueError("max_resident_clips and mesh are mutually "
+                         "exclusive (shard OR stream, not both)")
     contract = getattr(wrapper, "contract", "centerOffset")
     # the legacy contract is batch-major (B, 1000, 8); the stacked-row
     # contracts put the clip batch on axis 1
     batch_axis = 0 if contract == "cornerLegacy" else 1
 
-    if mesh is None:
+    if streaming:
+        device_rows = None  # per-band programs below instead
+    elif mesh is None:
+        tiler = make_device_tiler(width, height)
 
         @jax.jit
         def device_rows(gray_u8):
             return wrapper(tiler(gray_u8)[..., None])
 
     else:
+        tiler = make_device_tiler(width, height)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_dev = int(mesh.shape["data"])
@@ -511,6 +599,66 @@ def make_device_analyzer(wrapper: Callable, width: int, height: int,
         if dedupe_radius is not None:
             detections = dedupe_contract(detections, dedupe_radius, contract)
         return detections
+
+    if streaming:
+        bands = band_plan(clip_h, clip_v, max_resident_clips)
+        stride = INPUT_SIZE - 2 * PADDING_SIZE
+        band_h = (clip_v - 1) * stride + INPUT_SIZE
+        band_programs = {}
+
+        def _band_program(n_cols: int):
+            """Jitted (band_h, band_w) padded-band uint8 -> decode rows;
+            one compiled shape per distinct band width (at most two: the
+            full band and the remainder band)."""
+            if n_cols not in band_programs:
+
+                @jax.jit
+                def prog(band_u8):
+                    band = jnp.asarray(band_u8, jnp.float32)
+                    clips = jnp.stack([
+                        jax.lax.dynamic_slice(
+                            band, (y * stride, x * stride),
+                            (INPUT_SIZE, INPUT_SIZE))
+                        for x in range(n_cols) for y in range(clip_v)
+                    ])
+                    return wrapper(jax.vmap(normalize)(clips)[..., None])
+
+                band_programs[n_cols] = prog
+            return band_programs[n_cols]
+
+        def dispatch(gray: np.ndarray) -> np.ndarray:
+            """Bounded-window band execution: extract/upload band i+1
+            while band i's device program runs; at most two bands (and
+            their decode rows) are resident anywhere. Returns the
+            CONCATENATED rows (synced), so ``finish`` is pure host
+            stitch — the window, not the caller, bounds memory."""
+            gray = coerce_gray_u8(gray)
+            parts: List[np.ndarray] = []
+            pending = None
+            for x0, n_cols in bands:
+                band = extract_padded_band(gray, x0, n_cols, pad_lr, pad_tb)
+                fut = _band_program(n_cols)(jnp.asarray(band))
+                if pending is not None:
+                    parts.append(np.asarray(pending))
+                pending = fut
+            parts.append(np.asarray(pending))
+            return np.concatenate(parts, axis=batch_axis)
+
+        def finish(rows: np.ndarray) -> List[List[float]]:
+            return _finish(rows)
+
+        def analyse(gray: np.ndarray) -> List[List[float]]:
+            return finish(dispatch(gray))
+
+        def analyse_many(grays) -> List[List[List[float]]]:
+            # no cross-slide pipelining in streaming mode: holding several
+            # giant slides in flight is exactly what this mode bounds
+            return [analyse(g) for g in grays]
+
+        analyse.many = analyse_many
+        analyse.dispatch = dispatch
+        analyse.finish = finish
+        return analyse
 
     def analyse(gray: np.ndarray) -> List[List[float]]:
         # uint8 upload: grayscale_inference output is already rounded to

@@ -99,6 +99,12 @@ def main():
                         "grayscale/stitch of slide i overlaps device work "
                         "of slide i+1; ~15-20%% faster on multi-slide "
                         "batches)")
+    parser.add_argument("--max-resident-clips", type=int, default=None,
+                        help="streaming giant-slide mode: process each "
+                        "slide in column bands of at most this many clips "
+                        "so host/device residency is bounded by the band, "
+                        "not the slide (detections identical; excludes "
+                        "--mesh/--pipelined)")
     args = parser.parse_args()
 
     from scd_resnet_tpu.core.compile_cache import enable_compilation_cache
@@ -115,6 +121,9 @@ def main():
     if args.pipelined and not args.checkpoint:
         parser.error("--pipelined requires -c (the traced path has no "
                      "async dispatch)")
+    if args.max_resident_clips and (args.mesh or args.pipelined):
+        parser.error("--max-resident-clips bounds in-flight memory; "
+                     "--mesh/--pipelined hold more in flight by design")
 
     if args.checkpoint:
         # live-model path: fused on-device tiling (infer/analyse.py
@@ -148,7 +157,8 @@ def main():
             if (width, height) not in analyzers:
                 analyzers[(width, height)] = make_device_analyzer(
                     wrapper, width, height, dedupe_radius=args.dedupe,
-                    mesh=mesh, bounds=bounds)
+                    mesh=mesh, bounds=bounds,
+                    max_resident_clips=args.max_resident_clips)
             return analyzers[(width, height)](gray)
     else:
         from scd_resnet_tpu.infer.wrapper import load_traced
@@ -162,7 +172,8 @@ def main():
             return analyse_images(
                 model, path, dedupe_radius=args.dedupe,
                 batch_size=input_shape[0],
-                bounds=None if args.keep_out_of_bounds else "slide")
+                bounds=None if args.keep_out_of_bounds else "slide",
+                max_resident_clips=args.max_resident_clips)
 
     if args.fit and contract != "centerOffset":
         # fail BEFORE any device work: the contract is known at load time

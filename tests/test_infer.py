@@ -423,3 +423,118 @@ def test_analyse_grayscale_legacy_contract():
     for tlx, tly, brx, bry, s in dets:
         assert brx - tlx == 40.0 and bry - tly == 32.0
         assert abs(s - 0.9) < 1e-6  # float32 readback
+
+
+def test_extract_padded_band_matches_global_pad():
+    """Band extraction must reproduce the exact pixels of the full padded
+    slide for every band, including the symmetric-x edges."""
+    from scd_resnet_tpu.infer.analyse import (
+        INPUT_SIZE, PADDING_SIZE, band_plan, extract_padded_band,
+        slide_geometry,
+    )
+    from scd_resnet_tpu.ops.image import pad_reflect_hybrid
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 255, (900, 1700)).astype(np.uint8)
+    clip_h, clip_v, pad_lr, pad_tb = slide_geometry(1700, 900)
+    full = pad_reflect_hybrid(gray, pad_lr, pad_tb)
+    stride = INPUT_SIZE - 2 * PADDING_SIZE
+    for max_clips in (clip_v, 2 * clip_v + 1, 5 * clip_v):
+        for x0, n_cols in band_plan(clip_h, clip_v, max_clips):
+            band = extract_padded_band(gray, x0, n_cols, pad_lr, pad_tb)
+            want = full[:, x0 * stride : x0 * stride
+                        + (n_cols - 1) * stride + INPUT_SIZE]
+            np.testing.assert_array_equal(band, want)
+
+
+def _content_dependent_rows(batch):
+    """Fake decode rows derived from clip content, so any pixel or
+    ordering error in a banded path changes the detections."""
+    b = batch.shape[0]
+    k = 100
+    m = np.asarray(batch).mean(axis=(1, 2, 3))
+    rows = np.zeros((10, b, k), np.float32)
+    rows[0, :, 0] = 1.0 / (1.0 + np.exp(-m)) * 0.5 + 0.4
+    rows[2, :, 0] = 10.0 + m
+    rows[3, :, 0] = 20.0 - m
+    rows[6, :, 0] = 2.0
+    rows[7, :, 0] = 6.0
+    rows[8, :, 0] = m
+    rows[9, :, 0] = -m
+    return rows
+
+
+def test_analyse_grayscale_streaming_matches_monolithic():
+    """max_resident_clips must not change detections — the host-tiled
+    giant-slide streaming mode (SURVEY §5) against the monolithic path,
+    on a slide several times the production geometry's clip count."""
+    rng = np.random.default_rng(3)
+    gray = rng.uniform(0.0, 255.0, (1200, 3600)).astype(np.float32)
+
+    want = analyse_grayscale(_content_dependent_rows, gray, bounds="slide")
+    assert len(want) > 0
+    for max_clips in (3, 7, 9):  # one-column floor, mid, remainder band
+        got = analyse_grayscale(_content_dependent_rows, gray,
+                                bounds="slide",
+                                max_resident_clips=max_clips)
+        assert got == want
+
+    # memmap input: only band columns are ever read — the literal
+    # larger-than-host-memory path
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npy") as f:
+        np.save(f.name, gray)
+        mm = np.load(f.name, mmap_mode="r")
+        got = analyse_grayscale(_content_dependent_rows, mm,
+                                bounds="slide", max_resident_clips=7)
+        assert got == want
+
+
+def test_device_analyzer_streaming_matches_monolithic():
+    """The device-fused streaming analyzer (bounded band window) must
+    produce the monolithic analyzer's exact detections, including with
+    dedupe (band order preserves the greedy dedupe sequence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_resnet_tpu.infer.analyse import make_device_analyzer
+
+    rng = np.random.default_rng(5)
+    gray = rng.uniform(0.0, 255.0, (1200, 3600)).astype(np.float32)
+
+    def wrapper(clips):
+        b = clips.shape[0]
+        k = 100
+        m = clips.mean(axis=(1, 2, 3))
+        rows = jnp.zeros((10, b, k), jnp.float32)
+        rows = rows.at[0, :, 0].set(jax.nn.sigmoid(m) * 0.5 + 0.4)
+        rows = rows.at[2, :, 0].set(10.0 + m)
+        rows = rows.at[3, :, 0].set(20.0 - m)
+        rows = rows.at[6, :, 0].set(2.0)
+        rows = rows.at[7, :, 0].set(6.0)
+        return rows
+
+    single = make_device_analyzer(wrapper, 3600, 1200, dedupe_radius=16.0)
+    want = single(gray)
+    assert len(want) > 0
+    streamed = make_device_analyzer(wrapper, 3600, 1200, dedupe_radius=16.0,
+                                    max_resident_clips=9)
+    got = streamed(gray)
+    assert got == want
+    # the many/dispatch/finish surface agrees too
+    assert streamed.many([gray, gray]) == [want, want]
+    assert streamed.finish(streamed.dispatch(gray)) == want
+
+
+def test_device_analyzer_streaming_mesh_exclusive():
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from scd_resnet_tpu.infer.analyse import make_device_analyzer
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    with pytest.raises(ValueError):
+        make_device_analyzer(lambda c: c, 3600, 1200, mesh=mesh,
+                             max_resident_clips=4)
