@@ -25,7 +25,20 @@ Three interchangeable im2col lowerings (``deform_conv2d(method=...)``):
   round-trips HBM. Custom VJP: Pallas forward, XLA (onehot) backward.
 
 ``method="auto"`` picks by one-hot matrix size; see _pick_method.
-docs/PERFORMANCE.md records the measured comparison.
+
+Measured on v5e-1 (tools/dcn_probe_r4.{py,json}; within-process
+comparisons — tunnel dispatch inflates absolutes): the full
+centerOffsetRes10dcn train step (512², b32, bf16) runs 68.8 ms with
+gather, 68.1 ms with pallas, **54.0 ms with onehot** — the DCN overhead
+over the plain 47.5 ms step drops 21.3 -> 6.5 ms (3.3x). onehot also wins
+the 64²/128ch micro shape despite a 4.8 GB transient weight matrix, but
+auto stays memory-safe (128 MB limit) and falls back to gather there;
+force SCD_DCN_METHOD=onehot for inference-only large maps with free HBM.
+The Pallas kernel matches onehot in isolation (fwd 19.3 vs 18.1 ms,
+fwd+bwd 22.8 vs 23.6) but loses in-step — a pallas_call boundary inside
+the step blocks the XLA fusions the pure-jnp onehot enjoys (measured
+negative; the kernel stays for shapes where VMEM residency matters).
+docs/PERFORMANCE.md records the table.
 
 Semantics (bit-matched to dcn.im2col.cpp / dcn.roipool.cpp):
 
