@@ -25,3 +25,7 @@ from scd_resnet_tpu.ops.corner_pool import (
     right_pool,
     top_pool,
 )
+from scd_resnet_tpu.ops.dcn import (
+    deform_conv2d,
+    deform_psroi_pooling,
+)
