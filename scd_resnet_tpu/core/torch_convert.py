@@ -137,3 +137,93 @@ def convert_pth_file(path: str, num_layers: int = 10) -> Tuple[Dict, Dict]:
 
     state_dict = torch.load(path, map_location="cpu")
     return convert_center_net_residual(state_dict, num_layers)
+
+
+def _conv_inv(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(3, 2, 0, 1))
+
+
+def _deconv_inv(w) -> np.ndarray:
+    # inverse of _deconv: unflip spatially, (kh, kw, in, out) -> (in, out, kh, kw)
+    return np.ascontiguousarray(
+        np.asarray(w)[::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+def export_center_net_residual(params: Dict, batch_stats: Dict,
+                               num_layers: int = 10) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_center_net_residual`: flax parameter and
+    batch-stats trees -> a reference-named torch state_dict (numpy values,
+    loadable with ``load_state_dict`` into the reference's
+    ``CenterNetResidual`` after ``torch.from_numpy`` — see
+    ``export_pth_file``).
+
+    Closes the interop loop: models trained HERE deploy on the
+    reference's own TorchScript/libtorch path (trace.py:35-66), and
+    reference-side analyses (their test.py) can score our checkpoints.
+    """
+    block, stages = RESNET_SPEC[num_layers]
+    root = "ResNetBackbone_0"
+    p = params[root]
+    s = batch_stats[root]
+    sd: Dict[str, np.ndarray] = {}
+
+    def bn(torch_prefix, flax_path):
+        node_p, node_s = p, s
+        for part in flax_path:
+            node_p = node_p[part]
+            node_s = node_s[part]
+        node_p = node_p["BatchNorm_0"]
+        node_s = node_s["BatchNorm_0"]
+        sd[torch_prefix + ".weight"] = np.asarray(node_p["scale"])
+        sd[torch_prefix + ".bias"] = np.asarray(node_p["bias"])
+        sd[torch_prefix + ".running_mean"] = np.asarray(node_s["mean"])
+        sd[torch_prefix + ".running_var"] = np.asarray(node_s["var"])
+        # torch BN tracks batches as int64; the value is ignored with
+        # momentum-based updates but strict load_state_dict expects it
+        sd[torch_prefix + ".num_batches_tracked"] = np.asarray(0,
+                                                               np.int64)
+
+    sd["preprocess.0.weight"] = _conv_inv(p["Conv_0"]["kernel"])
+    bn("preprocess.1", ("BatchNorm_0",))
+
+    n_convs = 3 if block.expansion != 1 else 2
+    blk = 0
+    for stage_idx, repeats in enumerate(stages):
+        for i in range(repeats):
+            t = f"layer{stage_idx + 1}.{i}"
+            f = f"{block.__name__}_{blk}"
+            for j in range(n_convs):
+                sd[t + f".conv{j + 1}.weight"] = _conv_inv(
+                    p[f][f"Conv_{j}"]["kernel"])
+                bn(t + f".bn{j + 1}", (f, f"BatchNorm_{j}"))
+            if f"Conv_{n_convs}" in p[f]:
+                sd[t + ".downsample.0.weight"] = _conv_inv(
+                    p[f][f"Conv_{n_convs}"]["kernel"])
+                bn(t + ".downsample.1", (f, f"BatchNorm_{n_convs}"))
+            blk += 1
+
+    for j in range(3):
+        sd[f"deconvolutionLayers.{3 * j}.weight"] = _deconv_inv(
+            p[f"ConvTranspose_{j}"]["kernel"])
+        bn(f"deconvolutionLayers.{3 * j + 1}", (f"BatchNorm_{j + 1}",))
+
+    for head in ("heatmap", "regr", "offset"):
+        sd[head + ".0.weight"] = _conv_inv(p[head]["Conv_0"]["kernel"])
+        sd[head + ".0.bias"] = np.asarray(p[head]["Conv_0"]["bias"])
+        sd[head + ".2.weight"] = _conv_inv(p[head]["Conv_1"]["kernel"])
+        sd[head + ".2.bias"] = np.asarray(p[head]["Conv_1"]["bias"])
+
+    return sd
+
+
+def export_pth_file(path: str, params: Dict, batch_stats: Dict,
+                    num_layers: int = 10) -> str:
+    """Write a reference-loadable torch ``.pth`` from flax trees."""
+    import torch
+
+    sd = export_center_net_residual(params, batch_stats, num_layers)
+    # np.array copy: jax buffers can surface as non-writable views, which
+    # torch.from_numpy warns about
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               path)
+    return path

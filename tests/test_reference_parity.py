@@ -45,6 +45,17 @@ def test_reference_forward_and_decode_parity(depth, tmp_path):
     state_dict = {k[len("sd."):]: z[k] for k in z.files if k.startswith("sd.")}
     params, batch_stats = convert_center_net_residual(state_dict, depth)
 
+    # the reverse converter must reproduce the reference's own state_dict
+    # bit-for-bit (the train-here / deploy-on-reference interop path)
+    from scd_resnet_tpu.core.torch_convert import export_center_net_residual
+
+    back = export_center_net_residual(params, batch_stats, depth)
+    assert set(back) == set(state_dict)
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue  # informational counter, exported as 0
+        np.testing.assert_array_equal(back[key], value, err_msg=key)
+
     model = CenterNetResidual(num_layers=depth)
     x = jnp.asarray(z["clip"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
     outs = model.apply(

@@ -112,3 +112,20 @@ def test_converted_forward_matches_torch(num_layers, repeats):
         got = np.asarray(outs[head]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want[head].numpy(), atol=2e-4,
                                    err_msg=head)
+
+
+def test_export_round_trips_exactly():
+    """export_center_net_residual is the exact inverse of the forward
+    conversion: every tensor round-trips bit-identically."""
+    from scd_resnet_tpu.core.torch_convert import export_center_net_residual
+
+    torch.manual_seed(3)
+    net = _TorchRef((1, 1, 1, 1))
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params, stats = convert_center_net_residual(sd, 10)
+    back = export_center_net_residual(params, stats, 10)
+    assert set(back) == set(sd)
+    for key, value in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue  # informational counter, exported as 0
+        np.testing.assert_array_equal(back[key], value, err_msg=key)
