@@ -87,6 +87,12 @@ class CenterNetHourglass(nn.Module):
     heatmap(1)/regr(4)/offset(2) at prediction dim 256."""
 
     stacks: int = 1
+    # conv-path compute dtype; round-4 finding: the full-cadence champion
+    # run trained f32 because this field didn't exist — bf16 is the
+    # recommended production mode (see CLAUDE.md hourglass step numbers)
+    compute_dtype: str = "float32"
+    # per-stack activation rematerialization (memory for FLOPs)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -104,6 +110,8 @@ class CenterNetHourglass(nn.Module):
                 ("offset", 2, None),
             ),
             pool_downsample=False,
+            remat=self.remat,
+            dtype=jnp.dtype(self.compute_dtype),
         )(x, train)
 
 

@@ -27,7 +27,7 @@ evalNetwork collects only the final stack, stackHourglass.py:231-264).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -48,12 +48,14 @@ class ResidualStack(nn.Module):
     features: int
     modules: int
     first_stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Residual(self.features, self.first_stride)(x, train)
+        x = Residual(self.features, self.first_stride,
+                     dtype=self.dtype)(x, train)
         for _ in range(1, self.modules):
-            x = Residual(self.features)(x, train)
+            x = Residual(self.features, dtype=self.dtype)(x, train)
         return x
 
 
@@ -63,13 +65,14 @@ class ResidualStackReverted(nn.Module):
 
     features: int
     modules: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_features = x.shape[-1]
         for _ in range(self.modules - 1):
-            x = Residual(in_features)(x, train)
-        return Residual(self.features)(x, train)
+            x = Residual(in_features, dtype=self.dtype)(x, train)
+        return Residual(self.features, dtype=self.dtype)(x, train)
 
 
 class Hourglass(nn.Module):
@@ -79,6 +82,7 @@ class Hourglass(nn.Module):
     dimensions: Sequence[int]
     modules: Sequence[int]
     pool_downsample: bool = True  # False => stride-2 first residual instead
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -87,22 +91,25 @@ class Hourglass(nn.Module):
         cur_dim, nxt_dim = dims[0], dims[1]
         cur_mod = mods[0]
 
-        up1 = ResidualStack(cur_dim, cur_mod)(x, train)
+        up1 = ResidualStack(cur_dim, cur_mod, dtype=self.dtype)(x, train)
 
         if self.pool_downsample:
             low = max_pool_2x2_s2(x)
-            low = ResidualStack(nxt_dim, cur_mod)(low, train)
+            low = ResidualStack(nxt_dim, cur_mod, dtype=self.dtype)(low, train)
         else:
-            low = ResidualStack(nxt_dim, cur_mod, first_stride=2)(x, train)
+            low = ResidualStack(nxt_dim, cur_mod, first_stride=2,
+                                dtype=self.dtype)(x, train)
 
         if self.iterations > 1:
             low = Hourglass(
-                self.iterations - 1, dims[1:], mods[1:], self.pool_downsample
+                self.iterations - 1, dims[1:], mods[1:], self.pool_downsample,
+                dtype=self.dtype,
             )(low, train)
         else:
-            low = ResidualStack(nxt_dim, mods[1])(low, train)
+            low = ResidualStack(nxt_dim, mods[1], dtype=self.dtype)(low, train)
 
-        low = ResidualStackReverted(cur_dim, cur_mod)(low, train)
+        low = ResidualStackReverted(cur_dim, cur_mod,
+                                    dtype=self.dtype)(low, train)
 
         b, h, w, c = low.shape
         up2 = jnp.repeat(jnp.repeat(low, 2, axis=1), 2, axis=2)
@@ -117,17 +124,20 @@ class HourglassHead(nn.Module):
     out_features: int
     hidden: int
     final_bias: Optional[float] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBlock(self.hidden, 3, batch_norm=False)(x)
+        x = ConvBlock(self.hidden, 3, batch_norm=False,
+                      dtype=self.dtype)(x)
         bias_init = (
             nn.initializers.constant(self.final_bias)
             if self.final_bias is not None
             else nn.initializers.zeros_init()
         )
+        # final 1x1 in f32 (the ResNet TerminalHead convention)
         return nn.Conv(self.out_features, (1, 1), use_bias=True,
-                       bias_init=bias_init)(x)
+                       bias_init=bias_init)(x.astype(jnp.float32))
 
 
 class StackHourglass(nn.Module):
@@ -154,14 +164,18 @@ class StackHourglass(nn.Module):
     # needed vs 15.75 G). Parameter names/trees are identical either way
     # (the scope name is pinned), so checkpoints are interchangeable.
     remat: bool = False
+    # conv-path compute dtype (bfloat16 for the MXU's native precision);
+    # params, BN statistics, and the final head convs stay float32 — the
+    # same split the ResNet families use
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
         cur_dim = self.dimensions[0]
 
         # 4x preprocess: Conv7/s2 + Residual/s2 (stackHourglass.py:130-134)
-        inter = ConvBlock(128, 7, stride=2)(x, train)
-        inter = Residual(cur_dim, stride=2)(inter, train)
+        inter = ConvBlock(128, 7, stride=2, dtype=self.dtype)(x, train)
+        inter = Residual(cur_dim, stride=2, dtype=self.dtype)(inter, train)
 
         # static_argnums=(2,): (self, x, train) — train is a Python bool
         hourglass_cls = (
@@ -172,25 +186,26 @@ class StackHourglass(nn.Module):
         for stack_idx in range(self.stacks):
             kp = hourglass_cls(
                 self.hourglass_iterations, self.dimensions, self.modules,
-                self.pool_downsample,
+                self.pool_downsample, self.dtype,
                 name="Hourglass_{}".format(stack_idx),
             )(inter, train)
-            cnv = ConvBlock(self.prediction_dim, 3)(kp, train)
+            cnv = ConvBlock(self.prediction_dim, 3, dtype=self.dtype)(kp, train)
 
             out = {
                 name: HourglassHead(
-                    features, cur_dim, final_bias=bias, name=f"{name}_{stack_idx}"
+                    features, cur_dim, final_bias=bias, dtype=self.dtype,
+                    name=f"{name}_{stack_idx}"
                 )(cnv)
                 for name, features, bias in self.terminals
             }
             outs.append(out)
 
             if stack_idx < self.stacks - 1:
-                shortcut = conv1x1(cur_dim)(inter)
-                shortcut = BatchNorm()(shortcut, train)
-                prev = conv1x1(cur_dim)(cnv)
-                prev = BatchNorm()(prev, train)
+                shortcut = conv1x1(cur_dim, dtype=self.dtype)(inter)
+                shortcut = BatchNorm(dtype=self.dtype)(shortcut, train)
+                prev = conv1x1(cur_dim, dtype=self.dtype)(cnv)
+                prev = BatchNorm(dtype=self.dtype)(prev, train)
                 inter = nn.relu(shortcut + prev)
-                inter = Residual(cur_dim)(inter, train)
+                inter = Residual(cur_dim, dtype=self.dtype)(inter, train)
 
         return outs

@@ -190,3 +190,43 @@ def test_stack_hourglass_remat_is_checkpoint_compatible():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
+
+
+def test_hourglass_bf16_param_tree_matches_f32():
+    """compute_dtype only changes activation precision: the parameter and
+    batch-stats trees are identical to f32 (checkpoints interchangeable,
+    params/BN stats stay f32), outputs come back f32 and finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_resnet_tpu.models.center_net_offset import CenterNetHourglass
+
+    x = jnp.zeros((1, 128, 128, 1), jnp.float32)
+    v32 = CenterNetHourglass(stacks=1).init(jax.random.PRNGKey(0), x,
+                                            train=False)
+    vbf = CenterNetHourglass(stacks=1, compute_dtype="bfloat16").init(
+        jax.random.PRNGKey(0), x, train=False)
+
+    flat32 = jax.tree_util.tree_leaves_with_path(v32)
+    flatbf = jax.tree_util.tree_leaves_with_path(vbf)
+    assert [p for p, _ in flat32] == [p for p, _ in flatbf]
+    for (_, a), (_, b) in zip(flat32, flatbf):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert a.dtype == jnp.float32 or a.dtype == jnp.int32
+
+    outs = CenterNetHourglass(stacks=1, compute_dtype="bfloat16").apply(
+        vbf, jnp.ones((1, 128, 128, 1)), train=False)
+    for head, val in outs[-1].items():
+        assert val.dtype == jnp.float32, head
+        assert bool(jnp.isfinite(val).all()), head
+
+    # remat changes neither the tree nor (at f32) the forward values
+    vr = CenterNetHourglass(stacks=1, remat=True).init(
+        jax.random.PRNGKey(0), x, train=False)
+    out_plain = CenterNetHourglass(stacks=1).apply(
+        v32, jnp.ones((1, 128, 128, 1)), train=False)
+    out_remat = CenterNetHourglass(stacks=1, remat=True).apply(
+        vr, jnp.ones((1, 128, 128, 1)), train=False)
+    for head in out_plain[-1]:
+        np.testing.assert_allclose(out_plain[-1][head], out_remat[-1][head],
+                                   atol=0)
