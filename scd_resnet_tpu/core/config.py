@@ -79,6 +79,15 @@ _DEFAULTS: Dict[str, Any] = {
     "remat": False,
     # base PRNG seed for init/shuffling/augmentation
     "seed": 42,
+    # track the best validation checkpoint: when set to a metric name
+    # from the family's [It] report line (e.g. "AP50", "mIoU",
+    # "boxAP50"), every validation pass compares it and persists the
+    # best-so-far state to {modelName}.{trainName}.best.pth. Motivated
+    # by the round-4 corner finding: boxAP50 peaks mid-run and decays
+    # under the centerOffset-tuned schedule, so the final snapshot is
+    # not the production checkpoint for that family.
+    "bestSnapshotMetric": None,
+    "bestSnapshotMode": "max",  # "max" | "min" (for MAE-style metrics)
 }
 
 
@@ -202,6 +211,14 @@ class Configuration:
     @property
     def storageDtype(self) -> str:
         return self.config["storageDtype"]
+
+    @property
+    def bestSnapshotMetric(self) -> Optional[str]:
+        return self.config["bestSnapshotMetric"]
+
+    @property
+    def bestSnapshotMode(self) -> str:
+        return self.config["bestSnapshotMode"]
 
     @property
     def dirData(self) -> str:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -44,6 +45,25 @@ from scd_resnet_tpu.data.pipeline import augment_and_render_batch
 from scd_resnet_tpu.models.center_net_offset import as_stack_list
 from scd_resnet_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
 from scd_resnet_tpu.train.registry import get_dataset_profile, get_model_profile
+
+
+_METRIC_TOKEN = re.compile(r"\[(\S+?)\]\s+([-+0-9.eE]+)")
+
+
+def parse_metric_line(line: str, name: str) -> Optional[float]:
+    """Extract ``[name] value`` from a formatted [Tr]/[It] report line.
+
+    The bracketed report format is the reference-compatibility contract
+    (trainer/model/centerOffsetRes10.py:88-106, pinned by the expression
+    tests), so parsing it works identically for every family's
+    ``expression()`` without per-family aggregation plumbing."""
+    for key, val in _METRIC_TOKEN.findall(line):
+        if key == name:
+            try:
+                return float(val)
+            except ValueError:
+                return None
+    return None
 
 
 def make_lr_schedule(base_lr: float, decay_steps: List[int],
@@ -632,14 +652,20 @@ class NetworkFactory:
     def _checkpoint_path(self) -> str:
         return os.path.join(self.config.dirTemp, self.config.naming)
 
-    def save_parameters(self) -> None:
+    def _best_checkpoint_path(self) -> str:
+        return os.path.join(
+            self.config.dirTemp,
+            "{}.{}.best.pth".format(self.config.modelName,
+                                    self.config.trainName))
+
+    def save_parameters(self, path: Optional[str] = None) -> None:
         # multi-host: params/opt_state are replicated, so only process 0
         # writes — concurrent writers to a shared dirTemp would corrupt
         # the file (the reference was single-node and never hit this)
         if jax.process_index() != 0:
             return
         save_checkpoint(
-            self._checkpoint_path(), self.params, self.batch_stats,
+            path or self._checkpoint_path(), self.params, self.batch_stats,
             self.opt_state, self.config.currentIteration,
         )
 
@@ -794,6 +820,9 @@ class NetworkFactory:
         profiler = StepProfiler()
         t_start = time.perf_counter()
         steps_this_run = 0
+        best_val: Optional[float] = None
+        best_it = 0
+        best_metric_warned = False
 
         # graceful preemption: SIGTERM/SIGINT checkpoint instead of losing
         # the run (restored on exit; signal.signal only works in the main
@@ -902,6 +931,31 @@ class NetworkFactory:
                         Logger.info_green(tr_line)
                         Logger.info(it_line)
 
+                        if cfg.bestSnapshotMetric:
+                            value = parse_metric_line(
+                                it_line, cfg.bestSnapshotMetric)
+                            if value is None:
+                                if not best_metric_warned:
+                                    best_metric_warned = True
+                                    Logger.warn(
+                                        ":: factory :: bestSnapshotMetric "
+                                        "'{}' not in this family's report "
+                                        "line; best tracking disabled".format(
+                                            cfg.bestSnapshotMetric))
+                            elif (best_val is None
+                                  or (value < best_val
+                                      if cfg.bestSnapshotMode == "min"
+                                      else value > best_val)):
+                                best_val, best_it = value, it
+                                cfg.update_iteration(it)
+                                self.save_parameters(
+                                    path=self._best_checkpoint_path())
+                                Logger.info(
+                                    ":: factory :: best {}={} at iteration "
+                                    "{} -> {}".format(
+                                        cfg.bestSnapshotMetric, value, it,
+                                        self._best_checkpoint_path()))
+
                         # failure detection: a diverged run burns the remaining
                         # schedule — stop at the first non-finite loss with the
                         # state still checkpointable (the reference had no
@@ -968,6 +1022,13 @@ class NetworkFactory:
                 cfg.update_iteration(it)
                 self.save_parameters()
                 flush_rows(it)
+
+            if cfg.bestSnapshotMetric and best_val is not None:
+                line = "[Best] [{}] {} at iteration {} -> {}".format(
+                    cfg.bestSnapshotMetric, best_val, best_it,
+                    self._best_checkpoint_path())
+                eval_lines.append(line + "\n")
+                Logger.info(line)
 
         finally:
             progress.clear()

@@ -48,6 +48,7 @@ def tiny_env(tmp_path_factory):
             "learningRate": 1e-3,
             "learningRateDecay": [2],
             "learningRateDecayRate": [10],
+            "bestSnapshotMetric": "mIoU",
             "debug": True,
             "dirTemp": str(root / "temp") + "/",
             "dirResult": str(root / "results") + "/",
@@ -225,9 +226,31 @@ def test_training_loop_and_checkpoint(tiny_env):
     overlays = sorted(os.listdir(debug_dir))
     assert overlays and overlays[0].startswith("it000002.clip")
 
+    # best-validation tracking wrote the best checkpoint and logged it
+    best = os.path.join(cfg.dirTemp, "centerOffsetRes10q.smoke.best.pth")
+    assert os.path.exists(best)
+    assert "[Best] [mIoU]" in evals
+
     # checkpoint resume: loads without error and keeps training
     ckpt = os.path.join(cfg.dirTemp, "centerOffsetRes10q.smoke.2.pth")
     assert os.path.exists(ckpt)
     cfg.update_config({"currentIter": 2, "iterations": 4})
     factory2 = NetworkFactory(cfg, dataset=dataset)
     factory2.begin_training()
+
+
+def test_parse_metric_line_on_real_report_formats():
+    from scd_resnet_tpu.train.factory import parse_metric_line
+
+    center = ("[It]    2200:     [mIoU] 59.13823843    [mIoUC] 89.91561944"
+              "    [AP30] 78.14    [AP50] 57.49    [Orth] 0.217619"
+              "    [majMAE] 1.060755    [avgS] 0.8391")
+    assert parse_metric_line(center, "mIoU") == 59.13823843
+    assert parse_metric_line(center, "AP50") == 57.49
+    assert parse_metric_line(center, "Orth") == 0.217619
+    assert parse_metric_line(center, "boxAP50") is None
+
+    corner = ("[heatPeakAP50] 81.60    [tlPeakAP50] 25.60    "
+              "[boxAP50] 38.90")
+    assert parse_metric_line(corner, "boxAP50") == 38.90
+    assert parse_metric_line(corner, "heatPeakAP50") == 81.60
