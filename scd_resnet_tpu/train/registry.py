@@ -157,6 +157,21 @@ register_model(
     )
 )
 
+# 2-stack variant (the reference hourglass default is nstack=2,
+# hourglass.py:20 / centerNetOffset.py:78-101 path); intermediate
+# supervision over both stacks, decode from the last
+register_model(
+    ModelProfile(
+        name="centerOffsetHourglass2",
+        model_cls=cno.CenterNetHourglass,
+        model_params={"stacks": 2},
+        loss=cno.CenterNetLoss(0.1, 0.1),
+        decode=cno.decode_center_net,
+        evaluation=cno.center_net_evaluation,
+        expression=expression_center_net,
+    )
+)
+
 
 def _corner(name: str, model_cls, combined: bool = False,
             num_layers: int = 10) -> None:

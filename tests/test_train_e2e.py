@@ -29,6 +29,35 @@ def test_registry_covers_reference_profiles():
     assert p.train_subset == "train4p25"
 
 
+def test_hourglass2_profile_supervises_both_stacks():
+    """centerOffsetHourglass2 (reference nstack=2 default, hourglass.py:20)
+    registers with stacks=2 and its loss averages intermediate supervision
+    over both stack outputs."""
+    import jax.numpy as jnp
+
+    profile = MODEL_PROFILES["centerOffsetHourglass2"]
+    assert profile.model_params == {"stacks": 2}
+    assert profile.model_cls.__name__ == "CenterNetHourglass"
+
+    B, H, W, K = 2, 8, 8, 4
+    out = {
+        "heatmap": jnp.zeros((B, H, W, 1)),
+        "regr": jnp.ones((B, H, W, 4)),
+        "offset": jnp.ones((B, H, W, 2)),
+    }
+    ys = [
+        jnp.zeros((B, H, W, 1)),            # heat gt
+        jnp.ones((B, K)),                   # tag mask
+        jnp.zeros((B, K, 6)),               # regr gt
+        jnp.zeros((B, K), jnp.int32),       # indices
+    ]
+    loss1, _ = profile.loss([out], ys)
+    loss2, _ = profile.loss([out, out], ys)
+    # per-stack mean: two identical stacks give the same averaged loss
+    assert jnp.allclose(loss1, loss2)
+    assert bool(jnp.isfinite(loss2))
+
+
 @pytest.fixture(scope="module")
 def tiny_env(tmp_path_factory):
     root = tmp_path_factory.mktemp("scd")
