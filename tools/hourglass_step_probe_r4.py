@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scd_resnet_tpu.core.compile_cache import enable_compilation_cache  # noqa: E402
 
 
-def step_ms(remat: bool, dtype: str) -> float:
+def step_ms(remat: bool, dtype: str, stacks: int = 1) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -34,7 +34,8 @@ def step_ms(remat: bool, dtype: str) -> float:
     )
 
     batch, size = 32, 512
-    model = CenterNetHourglass(stacks=1, remat=remat, compute_dtype=dtype)
+    model = CenterNetHourglass(stacks=stacks, remat=remat,
+                               compute_dtype=dtype)
     loss_fn = CenterNetLoss(0.1, 0.1)
     tx = optax.adam(1.25e-4)
 
@@ -88,18 +89,27 @@ def step_ms(remat: bool, dtype: str) -> float:
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--stacks", type=int, default=1)
+    parser.add_argument("--dtypes", nargs="*",
+                        default=["float32", "bfloat16"])
+    args = parser.parse_args()
+
     enable_compilation_cache()
     out = {}
-    for dtype in ("float32", "bfloat16"):
+    for dtype in args.dtypes:
         for remat in (False, True):
             label = "{}_{}".format(dtype, "remat" if remat else "noremat")
             try:
-                out[label] = step_ms(remat, dtype)
+                out[label] = step_ms(remat, dtype, args.stacks)
             except Exception as exc:
                 out[label] = "error: " + str(exc)[:300]
             print(label, out[label], flush=True)
+    suffix = "" if args.stacks == 1 else "_stacks{}".format(args.stacks)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "hourglass_step_probe_r4.json")
+                        "hourglass_step_probe_r4{}.json".format(suffix))
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)
