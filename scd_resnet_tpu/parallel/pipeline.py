@@ -26,6 +26,16 @@ pytree with a leading ``S`` axis that shards over ``pipe``.
 Used by the driver dryrun (__graft_entry__.dryrun_multichip) and
 tests/test_pipeline_parallel.py, which pin the pipelined forward AND its
 parameter gradients to the plain sequential loop.
+
+Scaling note: the production trainer scales by data parallelism (+TP for
+wide kernels) — at <=50M params every model in the registry fits one v5e
+chip with batch 32, so the mesh 'data' axis is the efficient axis and PP
+would only add bubble overhead. This executor is the scaling path for the
+regime where DP stops working: stacks deep enough that one stack ~ one
+chip's HBM (8-stack hourglasses at large batch), where stage-sharding the
+stacks is the only way to fit, and the microbatch schedule keeps the MXUs
+busy. Expert parallelism has no counterpart here — no model family is a
+mixture-of-experts (nothing to shard on an 'expert' axis).
 """
 
 from __future__ import annotations
