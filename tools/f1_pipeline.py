@@ -197,7 +197,8 @@ def stage_eval(args):
         json.dump(report, f, indent=2)
 
     lines = [
-        "# Scaled F1 validation (round 3)", "",
+        "# Scaled F1 validation ({})".format(
+            os.path.basename(args.root.rstrip("/"))), "",
         "{} held-out slides, {} objects; greedy one-to-one matching at "
         "radius {} px; traced-vs-live identical rate {:.3%}.".format(
             len(live), n_objects, args.match_radius, eq_rate), "",
