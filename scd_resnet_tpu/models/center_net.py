@@ -41,6 +41,8 @@ class CenterNetSizeResidual(nn.Module):
 
     num_layers: int = 10
     dims: Sequence[int] = DEFAULT_DIMENSIONS
+    # conv-path compute dtype; params/BN stats/heads-output stay float32
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -48,7 +50,8 @@ class CenterNetSizeResidual(nn.Module):
             TerminalSpec("heatmap", CLASS_DIMENSION, 128, final_bias=-2.19),
             TerminalSpec("size", 2, 128, small_init=True),
         ]
-        return ResNetBackbone(self.num_layers, terminals, tuple(self.dims))(
+        return ResNetBackbone(self.num_layers, terminals, tuple(self.dims),
+                              dtype=jnp.dtype(self.compute_dtype))(
             x, train
         )
 

@@ -29,7 +29,7 @@ ground-truth Gaussian at its pixel is at least the IoU threshold.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Any, Dict, List, Sequence
 
 import flax.linen as nn
 import jax
@@ -61,22 +61,24 @@ class CornerPoolBlock(nn.Module):
 
     features: int
     pools: Sequence  # two pooling callables, e.g. (top_pool, left_pool)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        p1 = ConvBlock(128, 3)(x, train)
+        p1 = ConvBlock(128, 3, dtype=self.dtype)(x, train)
         p1 = self.pools[0](p1)
-        p2 = ConvBlock(128, 3)(x, train)
+        p2 = ConvBlock(128, 3, dtype=self.dtype)(x, train)
         p2 = self.pools[1](p2)
 
-        merged = nn.Conv(self.features, (3, 3), padding=1, use_bias=False)(p1 + p2)
-        merged = BatchNorm()(merged, train)
+        merged = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                         dtype=self.dtype)(p1 + p2)
+        merged = BatchNorm(dtype=self.dtype)(merged, train)
 
-        shortcut = conv1x1(self.features)(x)
-        shortcut = BatchNorm()(shortcut, train)
+        shortcut = conv1x1(self.features, dtype=self.dtype)(x)
+        shortcut = BatchNorm(dtype=self.dtype)(shortcut, train)
 
         out = nn.relu(merged + shortcut)
-        return ConvBlock(self.features, 3)(out, train)
+        return ConvBlock(self.features, 3, dtype=self.dtype)(out, train)
 
 
 def _heat_terminals() -> List[TerminalSpec]:
@@ -92,11 +94,15 @@ class CornerNetResidual(nn.Module):
 
     num_layers: int = 10
     dims: Sequence[int] = DEFAULT_DIMENSIONS
+    # conv-path compute dtype; params/BN stats/heads-output stay float32
+    # (the CenterNetResidual convention, center_net_offset.py:69)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         return ResNetBackbone(self.num_layers, _heat_terminals(),
-                              tuple(self.dims))(x, train)
+                              tuple(self.dims),
+                              dtype=jnp.dtype(self.compute_dtype))(x, train)
 
 
 class _CornerHead(nn.Module):
@@ -104,12 +110,15 @@ class _CornerHead(nn.Module):
     (cornerNetCPool.py:163-199)."""
 
     pools: Sequence
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = CornerPoolBlock(x.shape[-1], self.pools)(x, train)
-        x = nn.Conv(128, (3, 3), padding=1, use_bias=True)(x)
+        x = CornerPoolBlock(x.shape[-1], self.pools, dtype=self.dtype)(x, train)
+        x = nn.Conv(128, (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype)(x)
         x = nn.relu(x)
+        # final 1x1 emits float32 (dtype=None promotes with the f32 params)
         return nn.Conv(
             CLASS_DIMENSION, (1, 1), use_bias=True,
             bias_init=nn.initializers.constant(-2.19),
@@ -130,19 +139,24 @@ class CornerNetCPoolResidual(nn.Module):
 
     num_layers: int = 10
     dims: Sequence[int] = DEFAULT_DIMENSIONS
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = jnp.dtype(self.compute_dtype)
         # shared trunk (stem + stages + deconvs), then the plain center head
         # and the corner-pooled tl/br heads on the same feature map
-        features = ResNetBackbone(self.num_layers, (), tuple(self.dims))(
-            x, train)
-        heat = nn.Conv(128, (3, 3), padding=1, use_bias=True)(features)
+        features = ResNetBackbone(self.num_layers, (), tuple(self.dims),
+                                  dtype=dt)(x, train)
+        heat = nn.Conv(128, (3, 3), padding=1, use_bias=True,
+                       dtype=dt)(features)
         heat = nn.relu(heat)
         heat = nn.Conv(CLASS_DIMENSION, (1, 1), use_bias=True,
                        bias_init=nn.initializers.constant(-2.19))(heat)
-        tl = _CornerHead((top_pool, left_pool), name="tl_head")(features, train)
-        br = _CornerHead((bottom_pool, right_pool), name="br_head")(features, train)
+        tl = _CornerHead((top_pool, left_pool), dtype=dt,
+                         name="tl_head")(features, train)
+        br = _CornerHead((bottom_pool, right_pool), dtype=dt,
+                         name="br_head")(features, train)
         return {"heatmap": heat, "tl": tl, "br": br}
 
 
@@ -152,6 +166,7 @@ class CornerNetCombined(nn.Module):
 
     num_layers: int = 10
     dims: Sequence[int] = DEFAULT_DIMENSIONS
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -159,6 +174,7 @@ class CornerNetCombined(nn.Module):
             self.num_layers,
             [TerminalSpec("heatmap", 3, 128, final_bias=-2.19)],
             tuple(self.dims),
+            dtype=jnp.dtype(self.compute_dtype),
         )(x, train)
 
 

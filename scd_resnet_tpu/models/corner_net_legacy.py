@@ -21,7 +21,7 @@ tlInds(B,K), brInds(B,K)]``.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Any, Dict, List, Sequence
 
 import flax.linen as nn
 import jax
@@ -48,13 +48,15 @@ class _CornerBranch(nn.Module):
 
     categories: int
     pools: Sequence
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = CornerPoolBlock(x.shape[-1], self.pools)(x, train)
+        feat = CornerPoolBlock(x.shape[-1], self.pools,
+                               dtype=self.dtype)(x, train)
 
         def head(out_features, name, bias=None):
-            y = ConvBlock(256, 3, batch_norm=False)(feat)
+            y = ConvBlock(256, 3, batch_norm=False, dtype=self.dtype)(feat)
             bias_init = (
                 nn.initializers.constant(bias)
                 if bias is not None
@@ -87,12 +89,15 @@ class CornerNetLegacy(nn.Module):
     # v5e-1 HBM at batch 32/512^2 when every activation is stored.
     # Scope names are pinned, so parameters are identical either way.
     remat: bool = False
+    # conv-path compute dtype; params/BN stats/final 1x1 heads stay float32
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+        dt = jnp.dtype(self.compute_dtype)
         cur_dim = self.dimensions[0]
-        inter = ConvBlock(128, 7, stride=2)(x, train)
-        inter = Residual(cur_dim, stride=2)(inter, train)
+        inter = ConvBlock(128, 7, stride=2, dtype=dt)(x, train)
+        inter = Residual(cur_dim, stride=2, dtype=dt)(inter, train)
 
         # static_argnums=(2,): (self, x, train) — train is a Python bool
         hourglass_cls = (
@@ -107,16 +112,17 @@ class CornerNetLegacy(nn.Module):
         for stack_idx in range(self.stacks):
             kp = hourglass_cls(
                 self.iterations, self.dimensions, self.modules,
-                pool_downsample=False,
+                pool_downsample=False, dtype=dt,
                 name="Hourglass_{}".format(stack_idx),
             )(inter, train)
-            cnv = ConvBlock(self.prediction_dim, 3)(kp, train)
+            cnv = ConvBlock(self.prediction_dim, 3, dtype=dt)(kp, train)
 
             tl_heat, tl_tag, tl_regr = branch_cls(
-                self.categories, (top_pool, left_pool), name=f"tl_{stack_idx}"
+                self.categories, (top_pool, left_pool), dtype=dt,
+                name=f"tl_{stack_idx}"
             )(cnv, train)
             br_heat, br_tag, br_regr = branch_cls(
-                self.categories, (bottom_pool, right_pool),
+                self.categories, (bottom_pool, right_pool), dtype=dt,
                 name=f"br_{stack_idx}",
             )(cnv, train)
             outs.append(
@@ -128,10 +134,12 @@ class CornerNetLegacy(nn.Module):
             )
 
             if stack_idx < self.stacks - 1:
-                shortcut = BatchNorm()(conv1x1(cur_dim)(inter), train)
-                prev = BatchNorm()(conv1x1(cur_dim)(cnv), train)
+                shortcut = BatchNorm(dtype=dt)(
+                    conv1x1(cur_dim, dtype=dt)(inter), train)
+                prev = BatchNorm(dtype=dt)(
+                    conv1x1(cur_dim, dtype=dt)(cnv), train)
                 inter = nn.relu(shortcut + prev)
-                inter = Residual(cur_dim)(inter, train)
+                inter = Residual(cur_dim, dtype=dt)(inter, train)
 
         return outs
 

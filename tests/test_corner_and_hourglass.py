@@ -230,3 +230,39 @@ def test_hourglass_bf16_param_tree_matches_f32():
     for head in out_plain[-1]:
         np.testing.assert_allclose(out_plain[-1][head], out_remat[-1][head],
                                    atol=0)
+
+
+def test_compute_dtype_every_family_tree_matches_f32():
+    """Every model family exposes compute_dtype (round-4: the corner/center/
+    legacy families gained it so their bf16 configs stop silently running
+    f32 — factory.py only forwards `precision` when the class has the
+    field). bf16 instantiation must keep the f32 param/batch-stats tree
+    (checkpoints interchangeable) and emit float32 heads."""
+    from scd_resnet_tpu.models.center_net import CenterNetSizeResidual
+    from scd_resnet_tpu.models.corner_net import CornerNetResidual
+    from scd_resnet_tpu.models.corner_net_legacy import CornerNetLegacy
+
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    cases = [
+        (CornerNetResidual, dict(dims=TINY)),
+        (CornerNetCPoolResidual, dict(dims=TINY)),
+        (CornerNetCombined, dict(dims=TINY)),
+        (CenterNetSizeResidual, dict(dims=TINY)),
+        (CornerNetLegacy, dict(stacks=2, iterations=2,
+                               dimensions=(16, 16, 32), modules=(1, 1, 1),
+                               prediction_dim=16)),
+    ]
+    for cls, kw in cases:
+        assert hasattr(cls, "compute_dtype"), cls.__name__
+        v32 = cls(**kw).init(jax.random.PRNGKey(0), x, True)
+        vbf = cls(compute_dtype="bfloat16", **kw).init(
+            jax.random.PRNGKey(0), x, True)
+        flat32 = jax.tree_util.tree_leaves_with_path(v32)
+        flatbf = jax.tree_util.tree_leaves_with_path(vbf)
+        assert [p for p, _ in flat32] == [p for p, _ in flatbf], cls.__name__
+        for (_, a), (_, b) in zip(flat32, flatbf):
+            assert a.shape == b.shape and a.dtype == b.dtype
+        outs = cls(compute_dtype="bfloat16", **kw).apply(
+            vbf, jnp.ones((1, 64, 64, 1)), False)
+        for leaf in jax.tree_util.tree_leaves(outs):
+            assert leaf.dtype == jnp.float32, cls.__name__
