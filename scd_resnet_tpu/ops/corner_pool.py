@@ -67,10 +67,17 @@ def _forward_impl(x, axis: int, reverse: bool):
     """Forward dispatch: the hand-scheduled Pallas running-max kernel on
     TPU (measured ~1.4x faster than the cummax lowering at production
     shapes), lax.cummax elsewhere. SCD_DISABLE_PALLAS_POOL=1 forces the
-    cummax path everywhere (debug/ablation switch)."""
+    cummax path everywhere (debug/ablation switch).
+
+    float32 only: the kernel's W-axis variant advances a single-element
+    dynamic slice along the sublane dimension, which Mosaic cannot prove
+    aligned under the packed (16, 128) bf16 tile ("cannot statically
+    prove that index in dimension 2 is a multiple of 8" at kernel
+    compile) — bf16 corner models take the cummax lowering instead."""
     import os
 
     if (jax.default_backend() == "tpu" and x.ndim == 4
+            and x.dtype == jnp.float32
             and not os.environ.get("SCD_DISABLE_PALLAS_POOL")):
         from scd_resnet_tpu.ops.pallas_kernels import corner_pool_pallas
 

@@ -40,3 +40,24 @@ def test_corner_pool_pallas_matches_cummax():
     np.testing.assert_allclose(
         np.asarray(corner_pool_pallas(x, 2, True, interpret=True)),
         np.asarray(left_pool(x)), atol=1e-6)
+
+
+def test_corner_pool_bf16_takes_cummax_path():
+    """bf16 corner pools must NOT dispatch to the Pallas kernel: its W-axis
+    variant advances a single-element dynamic slice along the sublane dim,
+    unprovable under the packed (16,128) bf16 tile (Mosaic compile error
+    observed on v5e, see ops/corner_pool._forward_impl). The cummax
+    fallback must be exact vs the f32 pools cast to bf16."""
+    from scd_resnet_tpu.ops.corner_pool import _forward_impl, right_pool
+
+    rng = np.random.default_rng(2)
+    x32 = jnp.array(rng.standard_normal((2, 8, 16, 4)), jnp.float32)
+    x16 = x32.astype(jnp.bfloat16)
+    for fn, axis, rev in [(top_pool, 1, True), (bottom_pool, 1, False),
+                          (left_pool, 2, True), (right_pool, 2, False)]:
+        o16 = fn(x16)
+        assert o16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(o16, np.float32),
+            np.asarray(fn(x32).astype(jnp.bfloat16), np.float32))
+    assert _forward_impl(x16, 2, False).dtype == jnp.bfloat16
