@@ -49,7 +49,11 @@ def _running_argmax(x, axis: int, reverse: bool):
 
 
 def _scatter_add_along_axis(template, idx, updates, axis: int):
-    """zeros_like(template) with `updates` scatter-added at `idx` along axis."""
+    """zeros_like(template) with `updates` scatter-added at `idx` along axis.
+
+    Kept as the reference backward for tests; NOT used in the VJP — the
+    XLA scatter lowering costs ~760 ms per pool at the production shape
+    (32,128,128,128) on v5e, see _pool_bwd."""
     x = jnp.moveaxis(template, axis, -1)
     idxm = jnp.moveaxis(idx, axis, -1)
     upd = jnp.moveaxis(updates, axis, -1)
@@ -61,6 +65,17 @@ def _scatter_add_along_axis(template, idx, updates, axis: int):
     out = jnp.zeros((flat_idx.shape[0], n), x.dtype)
     out = out.at[rows, flat_idx].add(flat_upd)
     return jnp.moveaxis(out.reshape(*lead, n), -1, axis)
+
+
+def _shift_along_axis(x, axis: int, offset: int, fill):
+    """x shifted by `offset` along `axis` (positive = towards higher
+    indices), vacated positions filled with `fill`."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(offset, 0), max(-offset, 0))
+    lo = max(-offset, 0)
+    return lax.slice_in_dim(
+        jnp.pad(x, pad, constant_values=fill), lo, lo + n, axis=axis)
 
 
 def _forward_impl(x, axis: int, reverse: bool):
@@ -95,24 +110,83 @@ def _pool_fwd(x, axis, reverse):
 
 
 def _pool_bwd(axis, reverse, x, g):
-    idx = _running_argmax(x, axis, reverse)
-    return (_scatter_add_along_axis(x, idx, g, axis),)
+    """Scatter-free running-max VJP (exact, first-occurrence tie routing).
+
+    out[i]'s cotangent belongs to the running argmax at i. Argmax segments
+    are contiguous and start exactly where the input strictly exceeds every
+    earlier element ("new max"), so
+
+        grad[j] = sum of g over j's segment
+                = R[j] - R[next new-max after j]     (R = suffix cumsum of g)
+
+    — three scans (cummax, cumsum, one associative fill) plus elementwise
+    ops instead of a scatter-add. On v5e at (32,128,128,128) this is
+    ~40 ms vs ~780 ms for the scatter lowering (the scatter made a
+    cornerCPool train step >1 s; measured live, see docs/PERFORMANCE.md).
+    jax.grad of lax.cummax itself is NOT usable: it SPLITS the gradient
+    among tied running-max positions, while the reference's compiled
+    extensions (topPool.cpp:33-74) route to the first occurrence —
+    post-ReLU feature maps tie constantly at 0."""
+    if reverse:
+        x = jnp.flip(x, axis)
+        g = jnp.flip(g, axis)
+
+    m_prev = _shift_along_axis(
+        lax.cummax(x, axis=axis), axis, 1, -jnp.inf)
+    is_new = x > m_prev
+
+    # R[i] = sum of g[i..n-1]
+    R = jnp.flip(jnp.cumsum(jnp.flip(g, axis), axis=axis), axis)
+
+    # nxt_r[i] = R at the first new-max position strictly after i (0 if
+    # none): shift (R where new) left by one, then fill each hole with the
+    # nearest valid value to its RIGHT via a flipped forward-fill scan
+    vals = jnp.flip(_shift_along_axis(jnp.where(is_new, R, 0.0),
+                                      axis, -1, 0.0), axis)
+    valid = jnp.flip(_shift_along_axis(is_new, axis, -1, False), axis)
+
+    def fill(a, b):  # "latest valid wins" monoid (b is later in scan order)
+        return jnp.where(b[1], b[0], a[0]), a[1] | b[1]
+
+    filled, _ = lax.associative_scan(fill, (vals, valid), axis=axis)
+    nxt_r = jnp.flip(filled, axis)
+
+    grad = jnp.where(is_new, R - nxt_r, 0.0).astype(g.dtype)
+    if reverse:
+        grad = jnp.flip(grad, axis)
+    return (grad,)
 
 
 _directional_pool.defvjp(_pool_fwd, _pool_bwd)
 
 
+def _pool(x, axis: int, reverse: bool):
+    """Public pool entry: ALWAYS computes in float32.
+
+    For bf16 feature maps this is exact — a running max only ever returns
+    input values and bf16→f32 is lossless — and it is what makes bf16
+    corner models trainable at all on v5e: the bf16 lowering of the
+    backward's scatter-add ground a cornerCPool train step to >1 s
+    (vs the expected ~0.1 s; observed live, run killed at iter 1050),
+    and Mosaic rejects the Pallas forward's W-axis slice under the
+    packed (16,128) bf16 tile. f32 in/out passes through untouched."""
+    if x.dtype != jnp.float32:
+        return _directional_pool(
+            x.astype(jnp.float32), axis, reverse).astype(x.dtype)
+    return _directional_pool(x, axis, reverse)
+
+
 def top_pool(x):
-    return _directional_pool(x, 1, True)
+    return _pool(x, 1, True)
 
 
 def bottom_pool(x):
-    return _directional_pool(x, 1, False)
+    return _pool(x, 1, False)
 
 
 def left_pool(x):
-    return _directional_pool(x, 2, True)
+    return _pool(x, 2, True)
 
 
 def right_pool(x):
-    return _directional_pool(x, 2, False)
+    return _pool(x, 2, False)

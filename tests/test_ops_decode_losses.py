@@ -184,3 +184,30 @@ def test_clamp_sigmoid_bounds():
     x = jnp.array([-100.0, 0.0, 100.0])
     y = np.asarray(clamp_sigmoid(x))
     assert y[0] == 1e-4 and abs(y[1] - 0.5) < 1e-6 and abs(y[2] - (1 - 1e-4)) < 1e-7
+
+
+def test_pool_scan_backward_matches_scatter_reference():
+    """The scatter-free cumsum-difference VJP (ops/corner_pool._pool_bwd)
+    must route gradients exactly like the reference scatter-add at the
+    first-occurrence argmax — including heavy ties (post-ReLU zeros).
+    Values may differ by float summation order only."""
+    from scd_resnet_tpu.ops.corner_pool import (
+        _pool_bwd,
+        _running_argmax,
+        _scatter_add_along_axis,
+    )
+
+    rng = np.random.default_rng(3)
+    # quantized + clamped: many exact ties along both axes
+    x = jnp.asarray(np.maximum(rng.integers(-3, 4, (3, 9, 7, 5)), 0),
+                    jnp.float32)
+    g = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    for axis in (1, 2):
+        for rev in (False, True):
+            ref = _scatter_add_along_axis(
+                x, _running_argmax(x, axis, rev), g, axis)
+            new = _pool_bwd(axis, rev, x, g)[0]
+            ref, new = np.asarray(ref), np.asarray(new)
+            # identical routing: same zero pattern
+            np.testing.assert_array_equal(ref == 0, new == 0)
+            np.testing.assert_allclose(new, ref, atol=1e-5)
