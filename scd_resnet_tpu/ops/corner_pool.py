@@ -126,7 +126,21 @@ def _pool_bwd(axis, reverse, x, g):
     jax.grad of lax.cummax itself is NOT usable: it SPLITS the gradient
     among tied running-max positions, while the reference's compiled
     extensions (topPool.cpp:33-74) route to the first occurrence —
-    post-ReLU feature maps tie constantly at 0."""
+    post-ReLU feature maps tie constantly at 0.
+
+    On TPU the same algorithm runs as one Pallas kernel (two VMEM row
+    loops, ops/pallas_kernels.corner_pool_bwd_pallas) instead of the
+    three-scan XLA composition; SCD_DISABLE_PALLAS_POOL=1 disables it
+    together with the forward kernel."""
+    import os
+
+    if (jax.default_backend() == "tpu" and x.ndim == 4
+            and x.dtype == jnp.float32
+            and not os.environ.get("SCD_DISABLE_PALLAS_POOL")):
+        from scd_resnet_tpu.ops.pallas_kernels import corner_pool_bwd_pallas
+
+        return (corner_pool_bwd_pallas(x, g, axis, reverse),)
+
     if reverse:
         x = jnp.flip(x, axis)
         g = jnp.flip(g, axis)

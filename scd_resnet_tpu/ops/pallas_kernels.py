@@ -288,3 +288,91 @@ def corner_pool_pallas(x, axis: int, reverse: bool, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x)
+
+
+def _pool_bwd_kernel(x_ref, g_ref, out_ref, new_ref, *, axis: int,
+                     reverse: bool):
+    """Running-max VJP in two VMEM row loops (the one-pass counterpart of
+    ops/corner_pool._pool_bwd's three XLA scans).
+
+    Pass 1 walks the scan order with the running max as the carry and
+    records strict new-max rows (first-occurrence tie routing, matching
+    the reference's iterated pairwise max). Pass 2 walks backwards with
+    two vector carries — the suffix cumsum of the cotangent ``r_run`` and
+    its value at the most recent new-max ``last_new_r`` — emitting
+    ``grad = is_new * (r_run - last_new_r)``."""
+    n = x_ref.shape[axis]
+
+    def row(ref, i):
+        if axis == 1:
+            return ref[0, pl.ds(i, 1), :, :]
+        return ref[0, :, pl.ds(i, 1), :]
+
+    def put(ref, i, v):
+        if axis == 1:
+            ref[0, pl.ds(i, 1), :, :] = v
+        else:
+            ref[0, :, pl.ds(i, 1), :] = v
+
+    if axis == 1:
+        cshape = (1, x_ref.shape[2], x_ref.shape[3])
+    else:
+        cshape = (x_ref.shape[1], 1, x_ref.shape[3])
+
+    def fwd_step(j, m):
+        i = n - 1 - j if reverse else j
+        xr = row(x_ref, i)
+        put(new_ref, i, (xr > m).astype(x_ref.dtype))
+        return jnp.maximum(m, xr)
+
+    jax.lax.fori_loop(0, n, fwd_step,
+                      jnp.full(cshape, -jnp.inf, x_ref.dtype))
+
+    def bwd_step(j, carry):
+        r_run, last_new_r = carry
+        i = j if reverse else n - 1 - j
+        r_run = r_run + row(g_ref, i)
+        is_new = row(new_ref, i) > 0
+        put(out_ref, i, jnp.where(is_new, r_run - last_new_r,
+                                  jnp.zeros_like(r_run)))
+        return r_run, jnp.where(is_new, r_run, last_new_r)
+
+    zeros = jnp.zeros(cshape, x_ref.dtype)
+    jax.lax.fori_loop(0, n, bwd_step, (zeros, zeros))
+
+
+def corner_pool_bwd_pallas(x, g, axis: int, reverse: bool,
+                           interpret: bool = False,
+                           vmem_budget_bytes: int = 4 * 1024 * 1024):
+    """Gradient of the directional running max wrt ``x`` given cotangent
+    ``g`` — one kernel launch instead of the XLA scan composition
+    (measured ~23 ms -> ~? per pool at (32,128,128,128) f32 on v5e; see
+    docs/PERFORMANCE.md). Blocking mirrors ``corner_pool_pallas`` with
+    the budget split over four resident blocks (x, g, grad, new-max
+    scratch)."""
+    b, h, w, c = x.shape
+    kernel = functools.partial(_pool_bwd_kernel, axis=axis, reverse=reverse)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    ct = _pick_tile(c, 128, max(128, vmem_budget_bytes // (4 * h * w * itemsize))) \
+        if c > 128 else c
+    budget_elems = vmem_budget_bytes // (4 * itemsize * ct)
+    if axis == 1:
+        wt = _pick_tile(w, 8, max(8, budget_elems // h))
+        block = (1, h, wt, ct)
+        grid = (b, w // wt, c // ct)
+        index = lambda i, j, k_: (i, 0, j, k_)  # noqa: E731
+    else:
+        ht = _pick_tile(h, 8, max(8, budget_elems // w))
+        block = (1, ht, w, ct)
+        grid = (b, h // ht, c // ct)
+        index = lambda i, j, k_: (i, j, 0, k_)  # noqa: E731
+    spec = pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM(block, x.dtype)],
+        interpret=interpret,
+    )(x, g)

@@ -61,3 +61,35 @@ def test_corner_pool_bf16_takes_cummax_path():
             np.asarray(o16, np.float32),
             np.asarray(fn(x32).astype(jnp.bfloat16), np.float32))
     assert _forward_impl(x16, 2, False).dtype == jnp.bfloat16
+
+
+def test_corner_pool_bwd_pallas_matches_scan_vjp():
+    """The one-pass Pallas pool backward must match the XLA scan VJP
+    exactly in routing (same zero pattern, first-occurrence ties) and to
+    float tolerance in values."""
+    from scd_resnet_tpu.ops.pallas_kernels import corner_pool_bwd_pallas
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.maximum(rng.integers(-3, 4, (2, 16, 8, 128)), 0),
+                    jnp.float32)
+    g = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    for axis in (1, 2):
+        for rev in (False, True):
+            ref = np.asarray(_pool_bwd_reference(axis, rev, x, g))
+            got = np.asarray(
+                corner_pool_bwd_pallas(x, g, axis, rev, interpret=True))
+            np.testing.assert_array_equal(got == 0, ref == 0)
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def _pool_bwd_reference(axis, rev, x, g):
+    """The scan VJP with the TPU-kernel dispatch bypassed (tests run on
+    CPU where the gate is off anyway, but keep it explicit)."""
+    import os
+    from scd_resnet_tpu.ops.corner_pool import _pool_bwd
+
+    os.environ["SCD_DISABLE_PALLAS_POOL"] = "1"
+    try:
+        return _pool_bwd(axis, rev, x, g)[0]
+    finally:
+        del os.environ["SCD_DISABLE_PALLAS_POOL"]
