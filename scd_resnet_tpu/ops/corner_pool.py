@@ -6,10 +6,13 @@ forward is an iterated pairwise ``max_out`` over row/column slices — i.e. a
 (reverse) cumulative max — and backward scatter-adds the output gradient
 into the argmax positions (topPool.cpp:33-74).
 
-On TPU there is no need for native code: the forward is exactly
-``jax.lax.cummax`` (one fused XLA op), and the argmax-routed backward is a
-custom VJP built from an associative scan that tracks indices plus a
-scatter-add. SURVEY.md §2.9 documents this C++→XLA mapping.
+On TPU the forward is exactly ``jax.lax.cummax`` (with a hand-scheduled
+Pallas variant, ~1.4x), and the argmax-routed backward is a custom VJP
+computed scatter-free as a cumsum-difference over new-max segments — one
+Pallas kernel on TPU, three XLA scans elsewhere (_pool_bwd; the naive
+scatter-add lowering costs ~760 ms per pool at production shape and is
+kept only as a test reference). SURVEY.md §2.9 documents this C++→XLA
+mapping.
 
 Feature maps are NHWC. Pool directions (matching the reference's NCHW
 definitions on H=axis 1, W=axis 2 here):
@@ -178,12 +181,11 @@ def _pool(x, axis: int, reverse: bool):
     """Public pool entry: ALWAYS computes in float32.
 
     For bf16 feature maps this is exact — a running max only ever returns
-    input values and bf16→f32 is lossless — and it is what makes bf16
-    corner models trainable at all on v5e: the bf16 lowering of the
-    backward's scatter-add ground a cornerCPool train step to >1 s
-    (vs the expected ~0.1 s; observed live, run killed at iter 1050),
-    and Mosaic rejects the Pallas forward's W-axis slice under the
-    packed (16,128) bf16 tile. f32 in/out passes through untouched."""
+    input values and bf16→f32 is lossless — and it keeps bf16 corner
+    models on the fast TPU kernels: Mosaic rejects the Pallas forward's
+    (and backward's) single-element W-axis slice under the packed
+    (16,128) bf16 tile, and no bf16 lowering measured faster than the
+    f32 kernels anyway. f32 in/out passes through untouched."""
     if x.dtype != jnp.float32:
         return _directional_pool(
             x.astype(jnp.float32), axis, reverse).astype(x.dtype)
