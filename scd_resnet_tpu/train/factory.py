@@ -755,21 +755,30 @@ class NetworkFactory:
         visible at a glance.
 
         Center and corner batches share the [heat, mask, regr, inds, ...]
-        leading layout this unpacks; the legacy family's batch is laid
-        out per-corner-head (data/pipeline.py) and is skipped rather than
-        crashed on or rendered wrong."""
-        if self.profile.corner_targets == "legacy":
-            Logger.warn(":: factory :: -debug overlays are not defined "
-                        "for the cornerLegacy batch layout; skipping")
-            return
+        leading layout; the legacy family's per-corner-head layout
+        [tlHeat, brHeat, mask, tlRegr, brRegr, tlInds, brInds]
+        (data/pipeline.py:104-138) gets tl/br corner markers plus the box
+        they span instead."""
         from PIL import Image, ImageDraw
 
         xs, ys = jax.device_get(self._rebuild_last_batch())
-        heat, mask, regr, inds = ys[0], ys[1], ys[2], ys[3]
-        hs = heat.shape[2]
+        legacy = self.profile.corner_targets == "legacy"
+        if legacy:
+            mask = ys[2]
+            hs = ys[0].shape[2]
+        else:
+            heat, mask, regr, inds = ys[0], ys[1], ys[2], ys[3]
+            hs = heat.shape[2]
         out_dir = os.path.join(
             self.config.dirResult, "debug.{}".format(self.config.trainName))
         os.makedirs(out_dir, exist_ok=True)
+
+        def _corner_px(inds_jk, regr_jk):
+            # integer heat cell + fractional offset, x4 to image px
+            x = (float(inds_jk % hs) + float(regr_jk[0])) * 4
+            y = (float(inds_jk // hs) + float(regr_jk[1])) * 4
+            return x, y
+
         for j in range(min(max_clips, xs.shape[0])):
             clip = xs[j, :, :, 0]
             lo, hi = float(clip.min()), float(clip.max())
@@ -777,8 +786,20 @@ class NetworkFactory:
                 ((clip - lo) / (hi - lo) * 255.0).astype(np.uint8)
             img = Image.fromarray(u8).convert("RGB")
             draw = ImageDraw.Draw(img)
-            for k in range(inds.shape[1]):
+            for k in range(mask.shape[1]):
                 if not bool(mask[j, k]):
+                    continue
+                if legacy:
+                    tlx, tly = _corner_px(ys[5][j, k], ys[3][j, k])
+                    brx, bry = _corner_px(ys[6][j, k], ys[4][j, k])
+                    draw.rectangle(
+                        [min(tlx, brx), min(tly, bry),
+                         max(tlx, brx), max(tly, bry)],
+                        outline=(64, 255, 64))
+                    draw.ellipse([tlx - 3, tly - 3, tlx + 3, tly + 3],
+                                 outline=(64, 160, 255), width=2)
+                    draw.ellipse([brx - 3, bry - 3, brx + 3, bry + 3],
+                                 outline=(255, 160, 64), width=2)
                     continue
                 # inds are heat-grid (x4 to image px); offsets (regr 0:2)
                 # are already image px (data/pipeline.py: locs[:, :, 2:4]

@@ -1,6 +1,7 @@
 """Legacy model families: size-regression CenterNet and the full original
 CornerNet with associative embeddings."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,3 +128,24 @@ def test_corner_net_legacy_remat_checkpoint_compatible():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
+
+def test_legacy_debug_overlays(tmp_path):
+    """-debug overlays are defined for the legacy per-corner batch layout
+    (factory.dump_debug_overlays): tl/br markers + box, PNGs written."""
+    from types import SimpleNamespace
+
+    from scd_resnet_tpu.train.factory import NetworkFactory
+
+    samples, locs, counts = _raw_batch()
+    xs, ys = augment_and_render_batch(
+        jax.random.PRNGKey(0), samples, locs, counts, 16, augment=False,
+        corner_targets="legacy",
+    )
+    stub = SimpleNamespace(
+        profile=SimpleNamespace(corner_targets="legacy"),
+        config=SimpleNamespace(dirResult=str(tmp_path), trainName="ovl"),
+        _rebuild_last_batch=lambda: (xs, ys),
+    )
+    NetworkFactory.dump_debug_overlays(stub, it=7, max_clips=2)
+    out = sorted(os.listdir(tmp_path / "debug.ovl"))
+    assert out == ["it000007.clip0.png", "it000007.clip1.png"]

@@ -14,7 +14,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from scd_resnet_tpu.train.registry import DATASET_PROFILES, MODEL_PROFILES
 
-ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "trainer")
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+ROOT = os.path.join(REPO, "trainer")
+SCDS = os.path.join(REPO, "datasets", "scds")
 
 MODEL_TMPL = '''"""Profile shim: re-export of the '{name}' model profile
 (reference interface: trainer/model/{name}.py)."""
@@ -53,6 +55,47 @@ def dataset(zipPath, useGPU=True, dataSplit=None, **kwargs):
     )
 '''
 
+SCDS_TMPL = '''"""Dataset-variant shim: re-export of the '{name}' dataset profile
+under the reference's public import path (reference interface:
+datasets/scds/{name}.py — module-level constants at scdx16p100.py:46-60 are
+imported by model files, e.g. models/centerNetOffset.py:43)."""
+
+from scd_resnet_tpu.data.dataset import SCDDataset as _SCDDataset
+
+MAXTAGLEN = 30
+
+TARGETSIZE = 512
+TARGETSIZEH = 256
+HEATMAPSIZE = 128
+DOWNSAMPLE = int(TARGETSIZE / HEATMAPSIZE)
+THRESHOLDIOU = 0.5
+
+TESTSET = 5760
+REALTIMETEST = 5760
+
+ARGUMENTRATIO = {argument_ratio}
+PARTITION = {partition:.2f}
+
+TRAINSUBSET = '{train_subset}'
+
+
+def SCD(zipPath, useGPU=True, dataSplit=None, **kwargs):
+    """Reference call signature: SCD(zipPath, useGPU, dataSplit)
+    (scdx16p100.py:64). ``useGPU`` is accepted for compatibility — arrays
+    are placed on the accelerator by the training step's shardings."""
+    return _SCDDataset(
+        zipPath,
+        dataSplit,
+        argument_ratio=ARGUMENTRATIO,
+        partition=PARTITION,
+        train_subset=TRAINSUBSET,
+        **kwargs,
+    )
+
+
+dataset = SCD
+'''
+
 WRAPPER = '''"""Deployment wrapper shim (reference interface:
 trainer/wrappers/centerOffsetResidual.py — the 10-row decode contract)."""
 
@@ -85,6 +128,14 @@ def main():
     for name in sorted(DATASET_PROFILES):
         write(os.path.join(ROOT, "dataset", name + ".py"),
               DATASET_TMPL.format(name=name))
+    os.makedirs(SCDS, exist_ok=True)
+    write(os.path.join(SCDS, "__init__.py"), "")
+    for name, prof in sorted(DATASET_PROFILES.items()):
+        write(os.path.join(SCDS, name + ".py"),
+              SCDS_TMPL.format(name=name,
+                               argument_ratio=prof.argument_ratio,
+                               partition=prof.partition,
+                               train_subset=prof.train_subset))
     for wrapper_name in ("centerOffsetResidual",):
         write(os.path.join(ROOT, "wrappers", wrapper_name + ".py"), WRAPPER)
     print("generated shims for {} models, {} datasets".format(
