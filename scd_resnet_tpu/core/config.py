@@ -88,6 +88,15 @@ _DEFAULTS: Dict[str, Any] = {
     # not the production checkpoint for that family.
     "bestSnapshotMetric": None,
     "bestSnapshotMode": "max",  # "max" | "min" (for MAE-style metrics)
+    # multi-axis device mesh, the one-knob analog of the reference's DDP
+    # world size (networkFactory.py:134). null -> a 1-D "data" mesh over
+    # every device whose size divides the batch (the default, pure DP).
+    # e.g. "meshShape": [4, 2], "meshAxes": ["data", "model"] trains
+    # DP=4 x TP=2: the batch shards over "data", wide kernels (last dim
+    # >= 64, divisible) shard their output channels over "model", and
+    # GSPMD inserts the ICI collectives (parallel/mesh.py rules).
+    "meshShape": None,
+    "meshAxes": None,
 }
 
 

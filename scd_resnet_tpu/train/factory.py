@@ -43,7 +43,13 @@ from scd_resnet_tpu.core.profiling import StepProfiler
 from scd_resnet_tpu.data.dataset import SCDDataset
 from scd_resnet_tpu.data.pipeline import augment_and_render_batch
 from scd_resnet_tpu.models.center_net_offset import as_stack_list
-from scd_resnet_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+from scd_resnet_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    mesh_from_config,
+    replicated_sharding,
+    tree_param_shardings,
+)
 from scd_resnet_tpu.train.registry import get_dataset_profile, get_model_profile
 
 
@@ -169,33 +175,55 @@ class NetworkFactory:
         self.sample_size = dataset.samples.shape[1]
 
         if mesh is None:
-            # the data axis must divide the global batch; use the largest
-            # batch divisor that fits the device count (single chip always
-            # works)
             devices = jax.devices()
-            usable = max(
-                d for d in range(1, len(devices) + 1)
-                if cfg.batchSize % d == 0
-            )
-            if usable != len(devices):
-                Logger.warn(
-                    ":: factory :: batchSize {} not divisible by {} devices; "
-                    "using {} device(s)".format(
-                        cfg.batchSize, len(devices), usable
-                    )
+            mesh_shape = cfg.config.get("meshShape")
+            if mesh_shape:
+                # explicit multi-axis mesh from the config (one-knob
+                # parallelism, the reference's networkFactory.py:134
+                # world-size analog): hard-fail on bad geometry rather
+                # than silently shrinking
+                mesh = mesh_from_config(
+                    mesh_shape, cfg.config.get("meshAxes"), devices,
+                    batch_size=cfg.batchSize,
                 )
-            mesh = create_mesh(devices[:usable])
+                Logger.log("Mesh: {}".format(
+                    " x ".join("{}={}".format(a, s) for a, s in
+                               zip(mesh.axis_names, mesh.devices.shape))))
+            else:
+                # default: 1-D data mesh; the data axis must divide the
+                # global batch, so use the largest batch divisor that fits
+                # the device count (single chip always works)
+                usable = max(
+                    d for d in range(1, len(devices) + 1)
+                    if cfg.batchSize % d == 0
+                )
+                if usable != len(devices):
+                    Logger.warn(
+                        ":: factory :: batchSize {} not divisible by {} "
+                        "devices; using {} device(s)".format(
+                            cfg.batchSize, len(devices), usable
+                        )
+                    )
+                mesh = create_mesh(devices[:usable])
         self.mesh = mesh
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
 
-        # ---- init parameters (replicated over the mesh) ----
+        # ---- init parameters (wide kernels sharded over a 'model' axis
+        # when the mesh has one, everything else replicated — the rule in
+        # parallel/mesh.py; on the default 1-D mesh this is all-replicated)
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, self.sample_size, self.sample_size, 1), jnp.float32)
+        abstract = jax.eval_shape(
+            functools.partial(self.model.init, train=False), rng, dummy
+        )
+        var_shardings = tree_param_shardings(self.mesh, abstract)
         variables = jax.jit(
             functools.partial(self.model.init, train=False),
-            out_shardings=self._replicated,
+            out_shardings=var_shardings,
         )(rng, dummy)
+        self._param_shard = var_shardings["params"]
+        self._bs_shard = var_shardings.get("batch_stats", self._replicated)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
 
@@ -208,7 +236,11 @@ class NetworkFactory:
             cfg.learningRate, cfg.learningRateDecay, cfg.learningRateDecayRate
         )
         self.tx = make_optimizer(cfg.optimizer, self.schedule)
-        self.opt_state = jax.jit(self.tx.init, out_shardings=self._replicated)(
+        # optimizer moments mirror the param tree, so the same TP rule
+        # shards them identically (scalars like adam's count replicate)
+        self._opt_shard = tree_param_shardings(
+            self.mesh, jax.eval_shape(self.tx.init, self.params))
+        self.opt_state = jax.jit(self.tx.init, out_shardings=self._opt_shard)(
             self.params
         )
 
@@ -291,15 +323,17 @@ class NetworkFactory:
         return jax.jit(
             self._make_step_core(),
             in_shardings=(
-                self._replicated,  # params
-                self._replicated,  # batch_stats
-                self._replicated,  # opt_state
+                self._param_shard,  # params (TP tree on a 'model' mesh)
+                self._bs_shard,  # batch_stats
+                self._opt_shard,  # opt_state (moments mirror params)
                 self._batch_shard,  # samples
                 self._batch_shard,  # locs
                 self._batch_shard,  # counts
                 self._replicated,  # key
             ),
-            out_shardings=(self._replicated,) * 5,
+            out_shardings=(self._param_shard, self._bs_shard,
+                           self._opt_shard, self._replicated,
+                           self._replicated),
             donate_argnums=(0, 1, 2),
         )
 
@@ -342,7 +376,7 @@ class NetworkFactory:
         # per validation batch
         return jax.jit(
             self._make_validate_core(),
-            in_shardings=(self._replicated, self._replicated,
+            in_shardings=(self._param_shard, self._bs_shard,
                           self._batch_shard, self._batch_shard),
             out_shardings=self._replicated,
         )
@@ -383,7 +417,10 @@ class NetworkFactory:
         if mode == "host":
             return
         storage = cfg.storageDtype
-        n_dev = self.mesh.devices.size
+        # rows shard over the 'data' axis only (replicated across any
+        # 'model'/'pipe' axes), so the shard count is the data-axis size,
+        # not the device count
+        n_dev = self.mesh.shape["data"]
         itemsize = {"float32": 4, "float16": 2, "uint8": 1}[storage]
         clip_elems = int(np.prod(self.dataset.samples.shape[1:]))
         val_ids = np.asarray(self.dataset.data_profile["validation"], np.int64)
@@ -391,7 +428,8 @@ class NetworkFactory:
         val_bytes = len(val_ids) * clip_elems * itemsize
         budget = (
             float(cfg.config.get("residencyBudgetGB", 8.0)) * 1024**3 * n_dev
-        )  # leave HBM room for parameters/activations
+        )  # leave HBM room for parameters/activations (per data shard;
+        # model-axis replicas hold copies, they don't add capacity)
         if mode == "auto" and train_bytes > budget:
             Logger.warn(
                 ":: factory :: dataset ({:.1f} GB as {}) exceeds the "
@@ -537,7 +575,19 @@ class NetworkFactory:
             return core(params, batch_stats, opt_state, samples, locs,
                         counts, key)
 
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        # explicit shardings: without them GSPMD may place outputs (e.g.
+        # BN stats over a 'model' axis) differently from the declared
+        # inputs of the other jitted steps
+        return jax.jit(
+            step,
+            in_shardings=(self._param_shard, self._bs_shard,
+                          self._opt_shard) + (self._batch_shard,) * 4
+            + (self._replicated,),
+            out_shardings=(self._param_shard, self._bs_shard,
+                           self._opt_shard, self._replicated,
+                           self._replicated),
+            donate_argnums=(0, 1, 2),
+        )
 
     def _build_gather_resident(self):
         gather = self._resident_gather_fn()
@@ -570,7 +620,7 @@ class NetworkFactory:
 
         return jax.jit(
             step,
-            in_shardings=(self._replicated, self._replicated)
+            in_shardings=(self._param_shard, self._bs_shard)
             + (self._batch_shard,) * 5,
             out_shardings=self._replicated,  # host-fetchable on every rank
         )
@@ -684,16 +734,20 @@ class NetworkFactory:
             "step": 0,
         }
         restored = load_checkpoint(self._checkpoint_path(), template)
-        self.params = jax.device_put(restored["params"], self._replicated)
-        self.batch_stats = jax.device_put(restored["batch_stats"], self._replicated)
-        self.opt_state = jax.device_put(restored["opt_state"], self._replicated)
+        self.params = jax.device_put(restored["params"], self._param_shard)
+        self.batch_stats = jax.device_put(restored["batch_stats"], self._bs_shard)
+        self.opt_state = jax.device_put(restored["opt_state"], self._opt_shard)
 
     def load_pretrained(self, path: str) -> None:
         Logger.warn(":: factory :: loading from pretrained: {}".format(path))
         params, batch_stats = load_params_only(path)
-        self.params = jax.device_put(params, self._replicated)
+        # shard by the shape rule on the LOADED tree (a pretrained file may
+        # carry a different layout than self.model's params)
+        self.params = jax.device_put(
+            params, tree_param_shardings(self.mesh, params))
         if batch_stats:
-            self.batch_stats = jax.device_put(batch_stats, self._replicated)
+            self.batch_stats = jax.device_put(
+                batch_stats, tree_param_shardings(self.mesh, batch_stats))
 
     # ---- public steps ------------------------------------------------------
 

@@ -31,20 +31,36 @@ def main():
 
     from scd_resnet_tpu.core.checkpoint import load_params_only
     from scd_resnet_tpu.core.logging import Logger
-    from scd_resnet_tpu.core.torch_convert import export_pth_file
+    from scd_resnet_tpu.core.torch_convert import (
+        export_center_net_hourglass,
+        export_pth_file,
+    )
     from scd_resnet_tpu.train.registry import get_model_profile
 
     profile = get_model_profile(args.arch)
+    is_hourglass = profile.model_cls.__name__ == "CenterNetHourglass"
     if profile.family != "centerOffset" or profile.model_params.get("dcn"):
-        Logger.err("export covers the plain centerOffset residual family "
-                   "(the reference's own deployable architecture); got "
-                   "'{}'".format(args.arch))
+        Logger.err("export covers the plain centerOffset residual + "
+                   "hourglass families (the reference's own deployable "
+                   "architectures); got '{}'".format(args.arch))
         sys.exit(1)
     params, batch_stats = load_params_only(args.checkpoint)
-    export_pth_file(args.output, params, batch_stats,
-                    num_layers=profile.model_params.get("num_layers", 10))
-    Logger.log("wrote {} (reference {}-layer naming)".format(
-        args.output, profile.model_params.get("num_layers", 10)))
+    if is_hourglass:
+        import numpy as np
+        import torch
+
+        stacks = profile.model_params.get("stacks", 1)
+        sd = export_center_net_hourglass(params, batch_stats, stacks=stacks)
+        torch.save(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+            args.output)
+        Logger.log("wrote {} (reference StackHourglass naming, {} stack(s), "
+                   "{} tensors)".format(args.output, stacks, len(sd)))
+    else:
+        export_pth_file(args.output, params, batch_stats,
+                        num_layers=profile.model_params.get("num_layers", 10))
+        Logger.log("wrote {} (reference {}-layer naming)".format(
+            args.output, profile.model_params.get("num_layers", 10)))
 
 
 if __name__ == "__main__":

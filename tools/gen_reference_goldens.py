@@ -47,7 +47,52 @@ def _stub_torchvision():
         sys.modules["distutils.log"] = log
 
 
-def main(out_path: str, num_layers: int, size: int, reference_root: str):
+def _build_reference_hourglass(stacks: int, small: bool):
+    """The reference's hourglass CenterNet chain
+    (models/centerNetOffset.py:78-101 over stackHourglass.py:130-272).
+    ``stacks`` generalizes its hardcoded hourglassStacks=1 so the
+    2-stack (champion-family) inter-stack layers get goldens too;
+    ``small`` shrinks iterations/dims for test-suite compile budgets while
+    keeping the same structural pattern (equal dims at level 0, so the
+    stride-2-only skip case is exercised)."""
+    import torch
+
+    from models.backbones.convolutions import Convolution
+    from models.backbones.residuals import Residual
+    from models.backbones.stackHourglass import StackHourglass
+    from models.centerNetOffset import (
+        heatmapTerminalHg,
+        makeHourglassLayer,
+        makePoolLayer,
+        offsetRegressionTerminalHg,
+        sizeRegressionTerminalHg,
+    )
+
+    if small:
+        iters, dims, mods = 3, [32, 32, 48, 64], [1, 1, 1, 2]
+        pred_dim = 64
+    else:
+        iters, dims, mods = (
+            5, [128, 128, 192, 192, 192, 256], [2, 2, 2, 2, 2, 4])
+        pred_dim = 256
+    model = StackHourglass(
+        iters, stacks, dims, mods, 1,
+        hourglassPool=makePoolLayer,
+        hourglassBefore=makeHourglassLayer,
+        hourglassLayer=Residual, predictionConvDim=pred_dim,
+        beforeBackbone=torch.nn.Sequential(
+            Convolution(7, 1, 128, stride=2),
+            Residual(3, 128, dims[0], stride=2),
+        ),
+        terminals=[heatmapTerminalHg, sizeRegressionTerminalHg,
+                   offsetRegressionTerminalHg],
+        decoder=None,
+    )
+    return model, (iters, dims, mods, pred_dim)
+
+
+def main(out_path: str, num_layers: int, size: int, reference_root: str,
+         model_kind: str = "resnet", stacks: int = 1, small: bool = False):
     sys.path.insert(0, reference_root)
     _stub_torchvision()
 
@@ -57,7 +102,11 @@ def main(out_path: str, num_layers: int, size: int, reference_root: str):
     from models.centerNetOffset import CenterNetResidual, decodeCenterNet
 
     torch.manual_seed(0)
-    model = CenterNetResidual(num_layers)
+    geometry = None
+    if model_kind == "hourglass":
+        model, geometry = _build_reference_hourglass(stacks, small)
+    else:
+        model = CenterNetResidual(num_layers)
     # Re-randomize EVERY tensor with a seeded numpy RNG: the reference's own
     # init leaves the heatmap logits nearly constant (sigmoid(-2.19) with
     # ~1e-3 spread), which makes top-K ordering a float-tie lottery. Wider
@@ -88,22 +137,44 @@ def main(out_path: str, num_layers: int, size: int, reference_root: str):
     for module in model.modules():
         if isinstance(module, torch.nn.BatchNorm2d):
             module.momentum = 1.0
+
+    def hourglass_forward(x):
+        # drives the reference's own modules with the per-stack terminal
+        # indexing of evalNetwork (stackHourglass.py:252: terminal[ind]) —
+        # its trainNetwork applies the WHOLE terminal Sequential per stack
+        # (stackHourglass.py:217), which only type-checks at nstack=1
+        inter = model.preprocess(x)
+        outs = []
+        for ind in range(model.hourglassStacks):
+            kp = model.hourglassStack[ind](inter)
+            cnv = model.redimConvolution[ind](kp)
+            outs.append({t: model.terminalLayers[t][ind](cnv)
+                         for t in model.terminalLayers})
+            if ind < model.hourglassStacks - 1:
+                inter = (model.shortcutLayers[ind](inter)
+                         + model.convPrevHourglass[ind](cnv))
+                inter = model.relu(inter)
+                inter = model.interHourglassLayers[ind](inter)
+        return outs
+
+    def forward(x):
+        if model_kind == "hourglass":
+            return hourglass_forward(x)
+        return model(x, decode=False)
+
     model.train()
     with torch.no_grad():
-        model(torch.from_numpy(clip), decode=False)
+        forward(torch.from_numpy(clip))
     model.eval()
     with torch.no_grad():
-        outs = model(torch.from_numpy(clip), decode=False)
-        heads = outs[0]
+        outs = forward(torch.from_numpy(clip))
+        heads = outs[-1]  # decode consumes the final stack
         scores, inds, ys, xs, offset, regression, _ = decodeCenterNet(
             dict(heads), K=100
         )
 
     payload = {
         "clip": clip,
-        "heatmap": heads["heatmap"].numpy(),
-        "regr": heads["regr"].numpy(),
-        "offset": heads["offset"].numpy(),
         "dec_scores": scores.numpy(),
         "dec_inds": inds.numpy(),
         "dec_y": ys.numpy(),
@@ -111,6 +182,16 @@ def main(out_path: str, num_layers: int, size: int, reference_root: str):
         "dec_offset": offset.numpy(),
         "dec_regr": regression.numpy(),
     }
+    if model_kind == "hourglass":
+        payload["stacks"] = np.asarray(stacks)
+        payload["geometry"] = np.asarray(
+            [geometry[0], geometry[3]] + list(geometry[2]))
+        for s, out in enumerate(outs):
+            for head in ("heatmap", "regr", "offset"):
+                payload[f"{head}.{s}"] = out[head].numpy()
+    else:
+        for head in ("heatmap", "regr", "offset"):
+            payload[head] = heads[head].numpy()
     for key, value in model.state_dict().items():
         payload["sd." + key] = value.numpy()
     np.savez_compressed(out_path, **payload)
@@ -118,8 +199,18 @@ def main(out_path: str, num_layers: int, size: int, reference_root: str):
 
 
 if __name__ == "__main__":
-    out = sys.argv[1]
-    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    size = int(sys.argv[3]) if len(sys.argv) > 3 else 128
-    root = sys.argv[4] if len(sys.argv) > 4 else "/root/reference"
-    main(out, depth, size, root)
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("out")
+    parser.add_argument("depth", nargs="?", type=int, default=10)
+    parser.add_argument("size", nargs="?", type=int, default=128)
+    parser.add_argument("root", nargs="?", default="/root/reference")
+    parser.add_argument("--model", default="resnet",
+                        choices=["resnet", "hourglass"])
+    parser.add_argument("--stacks", type=int, default=1)
+    parser.add_argument("--small", action="store_true",
+                        help="3-iteration/32-dim hourglass (test budgets)")
+    a = parser.parse_args()
+    main(a.out, a.depth, a.size, a.root, model_kind=a.model,
+         stacks=a.stacks, small=a.small)
