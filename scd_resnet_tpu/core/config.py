@@ -97,6 +97,9 @@ _DEFAULTS: Dict[str, Any] = {
     # GSPMD inserts the ICI collectives (parallel/mesh.py rules).
     "meshShape": None,
     "meshAxes": None,
+    # GPipe microbatch count when the mesh has a 'pipe' axis (stage = one
+    # hourglass stack; bubble fraction = (S-1)/(M+S-1)). null -> 2 x stages.
+    "pipelineMicrobatches": None,
 }
 
 

@@ -80,6 +80,20 @@ class CenterNetResidual(nn.Module):
         )(x, train)
 
 
+#: Production hourglass geometry (centerNetOffset.py:80-101) — consumed by
+#: CenterNetHourglass below AND the pipelined trainer (parallel/pipeline.py
+#: stages must be built from the SAME literals for checkpoint compatibility)
+HOURGLASS_ITERATIONS = 5
+HOURGLASS_DIMENSIONS = (128, 128, 192, 192, 192, 256)
+HOURGLASS_MODULES = (2, 2, 2, 2, 2, 4)
+HOURGLASS_PREDICTION_DIM = 256
+HOURGLASS_TERMINALS = (
+    ("heatmap", CLASS_DIMENSION, -2.19),
+    ("regr", 4, None),
+    ("offset", 2, None),
+)
+
+
 class CenterNetHourglass(nn.Module):
     """Stacked-hourglass center detector (centerNetOffset.py:78-101):
     5 hourglass iterations, dims [128,128,192,192,192,256], modules
@@ -99,16 +113,12 @@ class CenterNetHourglass(nn.Module):
         from scd_resnet_tpu.models.hourglass import StackHourglass
 
         return StackHourglass(
-            hourglass_iterations=5,
+            hourglass_iterations=HOURGLASS_ITERATIONS,
             stacks=self.stacks,
-            dimensions=(128, 128, 192, 192, 192, 256),
-            modules=(2, 2, 2, 2, 2, 4),
-            prediction_dim=256,
-            terminals=(
-                ("heatmap", CLASS_DIMENSION, -2.19),
-                ("regr", 4, None),
-                ("offset", 2, None),
-            ),
+            dimensions=HOURGLASS_DIMENSIONS,
+            modules=HOURGLASS_MODULES,
+            prediction_dim=HOURGLASS_PREDICTION_DIM,
+            terminals=HOURGLASS_TERMINALS,
             pool_downsample=False,
             remat=self.remat,
             dtype=jnp.dtype(self.compute_dtype),

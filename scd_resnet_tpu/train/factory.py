@@ -209,6 +209,40 @@ class NetworkFactory:
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
 
+        # ---- pipeline parallelism (a 'pipe' mesh axis): stage = one
+        # hourglass stack, GPipe microbatch schedule over ICI ppermute
+        # (parallel/pipeline.py). Checkpoints stay in the plain layout.
+        self._pipelined = (
+            "pipe" in self.mesh.axis_names and self.mesh.shape["pipe"] > 1
+        )
+        if self._pipelined:
+            pipe = self.mesh.shape["pipe"]
+            if self.profile.model_cls.__name__ != "CenterNetHourglass":
+                raise ValueError(
+                    "a 'pipe' mesh axis pipelines the stacked-hourglass "
+                    "family (stage = stack); model '{}' has no stack "
+                    "boundary to cut at".format(cfg.modelName))
+            if self.model.stacks != pipe:
+                raise ValueError(
+                    "mesh 'pipe' axis ({}) must equal the model's stack "
+                    "count ({})".format(pipe, self.model.stacks))
+            micro = cfg.config.get("pipelineMicrobatches") or 2 * pipe
+            self._pipeline_microbatches = int(micro)
+            data_size = self.mesh.shape.get("data", 1)
+            if (cfg.batchSize % self._pipeline_microbatches
+                    or (cfg.batchSize // self._pipeline_microbatches)
+                    % data_size):
+                raise ValueError(
+                    "batchSize {} must split into {} microbatches of a "
+                    "size divisible by the data axis ({})".format(
+                        cfg.batchSize, self._pipeline_microbatches,
+                        data_size))
+            Logger.log(
+                "Pipeline-parallel training: {} stages x {} microbatches "
+                "(bubble fraction {:.0%})".format(
+                    pipe, self._pipeline_microbatches,
+                    (pipe - 1) / (self._pipeline_microbatches + pipe - 1)))
+
         # ---- init parameters (wide kernels sharded over a 'model' axis
         # when the mesh has one, everything else replicated — the rule in
         # parallel/mesh.py; on the default 1-D mesh this is all-replicated)
@@ -278,8 +312,36 @@ class NetworkFactory:
         stack/branch (much lower peak memory than wrapping the whole
         forward, whose inputs-to-backward still materialize every
         intermediate once); the coarse whole-forward wrap is only the
-        fallback for models without the field."""
+        fallback for models without the field.
+
+        On a 'pipe' mesh the forward is the GPipe schedule instead
+        (parallel/pipeline.py) — same plain parameter tree, same
+        (outs, mutated) contract, so the step core/optimizer/validation
+        are untouched."""
         model = self.model
+
+        if self._pipelined:
+            from scd_resnet_tpu.models.center_net_offset import (
+                HOURGLASS_DIMENSIONS,
+                HOURGLASS_ITERATIONS,
+                HOURGLASS_MODULES,
+                HOURGLASS_PREDICTION_DIM,
+                HOURGLASS_TERMINALS,
+            )
+            from scd_resnet_tpu.parallel.pipeline import (
+                make_pipelined_stack_forward,
+            )
+
+            return make_pipelined_stack_forward(
+                self.mesh, self.model.stacks, self._pipeline_microbatches,
+                iterations=HOURGLASS_ITERATIONS,
+                dimensions=HOURGLASS_DIMENSIONS,
+                modules=HOURGLASS_MODULES,
+                prediction_dim=HOURGLASS_PREDICTION_DIM,
+                terminals=HOURGLASS_TERMINALS,
+                dtype=jnp.dtype(self.model.compute_dtype),
+                remat=bool(self.config.config.get("remat", False)),
+            )
 
         def forward(p, batch_stats, xs):
             return model.apply(
