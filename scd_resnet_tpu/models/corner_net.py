@@ -232,26 +232,44 @@ def decode_corner_net(out_dict: Dict[str, jnp.ndarray], k: int = 100,
 
 def pair_corner_boxes(ct_heat, tl_s, tl_y, tl_x, br_s, br_y, br_x,
                       detection_count: int = 1000,
-                      center_threshold: float = 0.05):
+                      center_threshold: float = 0.05,
+                      center_window: int = 5):
     """Geometric tl/br peak pairing into boxes for the embedding-free
     corner families.
 
     The cornerRes/cornerCPool/cornerCombined heads carry no associative
     embeddings or offset regressions (cornerNet.py:200-230 — only three
     heatmaps), so pairing is geometric, center-gated in the spirit of
-    CornerNet-Lite: every (tl, br) peak pair scores (tlS + brS)/2,
+    CenterNet-triplets: every (tl, br) peak pair scores (tlS + brS)/2,
     rejected when br is not below-right of tl or when the center heatmap
-    (sigmoid) at the pair midpoint falls below ``center_threshold`` — the
-    model's own center head arbitrates which corner pairs belong to one
-    object. Returns ``(boxes, scores)``: (B, D, 4) [tlX, tlY, brX, brY]
-    and (B, D); rejected pairs carry score -1.
+    (sigmoid) near the pair midpoint falls below ``center_threshold`` —
+    the model's own center head arbitrates which corner pairs belong to
+    one object. "Near" = the max over a ``center_window`` x
+    ``center_window`` neighborhood (the central-region check of the
+    CenterNet paper, not a single pixel): focal training sharpens the
+    center heatmap toward 1-2 px peaks, and the floored midpoint of two
+    quantized corners lands a pixel or two off that peak — the round-4
+    "boxAP50 peaks at iter 1,100 then decays while every peak AP climbs"
+    trajectory was THIS point-sampled gate rejecting ever-sharper correct
+    pairs, not the model regressing. ``center_window=1`` reproduces the
+    old point gate. Returns ``(boxes, scores)``: (B, D, 4)
+    [tlX, tlY, brX, brY] and (B, D); rejected pairs carry score -1.
     """
     b, k = tl_s.shape
     hs_y, hs_x = ct_heat.shape[1], ct_heat.shape[2]
     tlx, tly = tl_x[:, :, None], tl_y[:, :, None]
     brx, bry = br_x[:, None, :], br_y[:, None, :]
 
-    heat = jax.nn.sigmoid(ct_heat[..., 0]).reshape(b, -1)
+    ct = jax.nn.sigmoid(ct_heat[..., :1])
+    if center_window > 1:
+        pad = (center_window - 1) // 2
+        ct = jax.lax.reduce_window(
+            ct, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, center_window, center_window, 1),
+            window_strides=(1, 1, 1, 1),
+            padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        )
+    heat = ct[..., 0].reshape(b, -1)
     mid_x = jnp.clip(jnp.floor((tlx + brx) / 2.0), 0, hs_x - 1)
     mid_y = jnp.clip(jnp.floor((tly + bry) / 2.0), 0, hs_y - 1)
     mid_i = (mid_y * hs_x + mid_x).astype(jnp.int32).reshape(b, -1)

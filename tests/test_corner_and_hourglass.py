@@ -266,3 +266,36 @@ def test_compute_dtype_every_family_tree_matches_f32():
             vbf, jnp.ones((1, 64, 64, 1)), False)
         for leaf in jax.tree_util.tree_leaves(outs):
             assert leaf.dtype == jnp.float32, cls.__name__
+
+
+def test_pair_corner_boxes_window_gate_tolerates_sharp_peaks():
+    """The round-5 decode fix: a sharp (post-convergence) center peak 1-2
+    px off the floored pair midpoint must still gate the pair. window=1
+    reproduces the old point-sampled gate (rejects); the default window
+    accepts — the mechanism behind the round-4 'boxAP50 decays while every
+    peak AP climbs' trajectory."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scd_resnet_tpu.models.corner_net import pair_corner_boxes
+
+    hs = 16
+    # one object: tl=(4,4), br=(11,9) -> floored midpoint (7, 6);
+    # the true center peak sits at (8, 7) — off by (1, 1)
+    ct = jnp.full((1, hs, hs, 1), -12.0)
+    ct = ct.at[0, 7, 8, 0].set(6.0)  # sigmoid ~ 0.998, sharp delta
+    tl_s = jnp.asarray([[0.9]]); tl_y = jnp.asarray([[4.0]]); tl_x = jnp.asarray([[4.0]])
+    br_s = jnp.asarray([[0.8]]); br_y = jnp.asarray([[9.0]]); br_x = jnp.asarray([[11.0]])
+
+    _, scores_point = pair_corner_boxes(ct, tl_s, tl_y, tl_x, br_s, br_y,
+                                        br_x, center_window=1)
+    _, scores_win = pair_corner_boxes(ct, tl_s, tl_y, tl_x, br_s, br_y,
+                                      br_x)
+    assert float(scores_point[0, 0]) == -1.0  # old gate rejects
+    np.testing.assert_allclose(float(scores_win[0, 0]), (0.9 + 0.8) / 2)
+
+    # a pair whose midpoint region holds NO center response stays rejected
+    far = jnp.full((1, hs, hs, 1), -12.0)
+    _, scores_none = pair_corner_boxes(far, tl_s, tl_y, tl_x, br_s, br_y,
+                                       br_x)
+    assert float(scores_none[0, 0]) == -1.0
