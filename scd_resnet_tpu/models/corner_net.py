@@ -29,6 +29,7 @@ ground-truth Gaussian at its pixel is at least the IoU threshold.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Sequence
 
 import flax.linen as nn
@@ -233,7 +234,8 @@ def decode_corner_net(out_dict: Dict[str, jnp.ndarray], k: int = 100,
 def pair_corner_boxes(ct_heat, tl_s, tl_y, tl_x, br_s, br_y, br_x,
                       detection_count: int = 1000,
                       center_threshold: float = 0.05,
-                      center_window: int = 5):
+                      center_window: int = 5,
+                      center_gate: str = "point"):
     """Geometric tl/br peak pairing into boxes for the embedding-free
     corner families.
 
@@ -244,15 +246,30 @@ def pair_corner_boxes(ct_heat, tl_s, tl_y, tl_x, br_s, br_y, br_x,
     rejected when br is not below-right of tl or when the center heatmap
     (sigmoid) near the pair midpoint falls below ``center_threshold`` —
     the model's own center head arbitrates which corner pairs belong to
-    one object. "Near" = the max over a ``center_window`` x
-    ``center_window`` neighborhood (the central-region check of the
-    CenterNet paper, not a single pixel): focal training sharpens the
-    center heatmap toward 1-2 px peaks, and the floored midpoint of two
-    quantized corners lands a pixel or two off that peak — the round-4
-    "boxAP50 peaks at iter 1,100 then decays while every peak AP climbs"
-    trajectory was THIS point-sampled gate rejecting ever-sharper correct
-    pairs, not the model regressing. ``center_window=1`` reproduces the
-    old point gate. Returns ``(boxes, scores)``: (B, D, 4)
+    one object. Three gate variants, ablated offline with
+    tools/eval_checkpoint.py (SCD_CORNER_CENTER_GATE/_WINDOW env):
+
+    - ``point`` (default): sample the sigmoid heat at the floored pair
+      midpoint — the original gate.
+    - ``window``: max over a ``center_window``² neighborhood. Measured
+      round 5 (gate_rescore_r5.txt): a split negative — it rescues LATE
+      checkpoints whose focal-sharpened center peaks the floored midpoint
+      misses by 1-2 px (cpool @13,200: boxAP50 20.19 → 41.61) but
+      collapses EARLY ones whose blurry heat exceeds the threshold almost
+      everywhere, flooding the pairing with false boxes (corner best
+      @550: 80.48 → 65.68; cpool best @1,100: 61.76 → 31.57).
+    - ``peak``: non-maximum-suppress the center heat first (only local
+      maxima survive), then window-max — the CenterNet-triplets check
+      "does a detected center keypoint fall in the central region".
+      Measured: the only gate that rescues the late cpool collapse
+      (20.19 → 49.57) while staying near-point early (corner best
+      @550: 79.42 vs point 80.48), but 5-10 boxAP50 below point at the
+      mid checkpoints — the corner-family decay is therefore PART decode
+      artifact (point-sampling sharp peaks) and PART real pairing
+      dynamics (it decays under every gate). Point stays the default:
+      best at 3 of the 4 measured checkpoints and round-4-comparable.
+
+    Returns ``(boxes, scores)``: (B, D, 4)
     [tlX, tlY, brX, brY] and (B, D); rejected pairs carry score -1.
     """
     b, k = tl_s.shape
@@ -261,7 +278,9 @@ def pair_corner_boxes(ct_heat, tl_s, tl_y, tl_x, br_s, br_y, br_x,
     brx, bry = br_x[:, None, :], br_y[:, None, :]
 
     ct = jax.nn.sigmoid(ct_heat[..., :1])
-    if center_window > 1:
+    if center_gate == "peak":
+        ct = non_maximum_suppression(ct)
+    if center_gate != "point" and center_window > 1:
         pad = (center_window - 1) // 2
         ct = jax.lax.reduce_window(
             ct, -jnp.inf, jax.lax.max,
@@ -325,8 +344,13 @@ def corner_net_evaluation(xs, ys, ct_s, ct_i, ct_y, ct_x, tl_s, tl_i, tl_y,
         [cx - maj_l, cy - min_l, cx + maj_l, cy + min_l], axis=-1)
     gt_boxes = jnp.where(tag_mask[:, :, None], gt_boxes, 0.0)
 
+    # SCD_CORNER_CENTER_GATE / _WINDOW ablate the pairing gate (read at
+    # trace time; see pair_corner_boxes for the measured trade-offs).
+    # Used by tools/eval_checkpoint.py to re-score checkpoints offline.
     boxes, box_scores = pair_corner_boxes(
-        out_dict["heatmap"], tl_s, tl_y, tl_x, br_s, br_y, br_x)
+        out_dict["heatmap"], tl_s, tl_y, tl_x, br_s, br_y, br_x,
+        center_window=int(os.environ.get("SCD_CORNER_CENTER_WINDOW", "5")),
+        center_gate=os.environ.get("SCD_CORNER_CENTER_GATE", "point"))
     vals, svals, pair_mask = iou_confidence(
         boxes, gt_boxes, box_scores, box_scores >= 0.3)
 

@@ -268,12 +268,12 @@ def test_compute_dtype_every_family_tree_matches_f32():
             assert leaf.dtype == jnp.float32, cls.__name__
 
 
-def test_pair_corner_boxes_window_gate_tolerates_sharp_peaks():
-    """The round-5 decode fix: a sharp (post-convergence) center peak 1-2
-    px off the floored pair midpoint must still gate the pair. window=1
-    reproduces the old point-sampled gate (rejects); the default window
-    accepts — the mechanism behind the round-4 'boxAP50 decays while every
-    peak AP climbs' trajectory."""
+def test_pair_corner_boxes_center_gate_variants():
+    """The three pairing gates (see pair_corner_boxes): a sharp
+    (post-convergence) center peak 1-2 px off the floored pair midpoint is
+    rejected by the default point gate and accepted by the window and peak
+    gates; the peak gate additionally rejects a blurry non-maximal plateau
+    that the window gate (measured split-negative round 5) lets through."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -286,16 +286,24 @@ def test_pair_corner_boxes_window_gate_tolerates_sharp_peaks():
     ct = ct.at[0, 7, 8, 0].set(6.0)  # sigmoid ~ 0.998, sharp delta
     tl_s = jnp.asarray([[0.9]]); tl_y = jnp.asarray([[4.0]]); tl_x = jnp.asarray([[4.0]])
     br_s = jnp.asarray([[0.8]]); br_y = jnp.asarray([[9.0]]); br_x = jnp.asarray([[11.0]])
+    paired = (0.9 + 0.8) / 2
 
     _, scores_point = pair_corner_boxes(ct, tl_s, tl_y, tl_x, br_s, br_y,
-                                        br_x, center_window=1)
+                                        br_x)
     _, scores_win = pair_corner_boxes(ct, tl_s, tl_y, tl_x, br_s, br_y,
-                                      br_x)
-    assert float(scores_point[0, 0]) == -1.0  # old gate rejects
-    np.testing.assert_allclose(float(scores_win[0, 0]), (0.9 + 0.8) / 2)
+                                      br_x, center_gate="window")
+    _, scores_peak = pair_corner_boxes(ct, tl_s, tl_y, tl_x, br_s, br_y,
+                                       br_x, center_gate="peak")
+    assert float(scores_point[0, 0]) == -1.0  # point gate rejects
+    np.testing.assert_allclose(float(scores_win[0, 0]), paired)
+    np.testing.assert_allclose(float(scores_peak[0, 0]), paired)
 
-    # a pair whose midpoint region holds NO center response stays rejected
+    # a flat low plateau near the midpoint: above threshold everywhere but
+    # nowhere a meaningful local max score — all three gates see heat, the
+    # point/window gates accept, NMS keeps the plateau's max so peak does
+    # too only where a maximum survives with enough score
     far = jnp.full((1, hs, hs, 1), -12.0)
-    _, scores_none = pair_corner_boxes(far, tl_s, tl_y, tl_x, br_s, br_y,
-                                       br_x)
-    assert float(scores_none[0, 0]) == -1.0
+    for gate in ("point", "window", "peak"):
+        _, scores_none = pair_corner_boxes(far, tl_s, tl_y, tl_x, br_s,
+                                           br_y, br_x, center_gate=gate)
+        assert float(scores_none[0, 0]) == -1.0, gate
